@@ -135,19 +135,21 @@ def projection_matrix(K: jax.Array, R: jax.Array, t: jax.Array) -> jax.Array:
     return K @ Rt
 
 
-def resize_camera_matrix(
-    K: jax.Array, orig_width, orig_height, new_width, new_height
-) -> jax.Array:
-    """Scale K for a resized image, preserving skew; K[2,2] stays 1.
+def resize_camera_matrix(K: jax.Array, orig_width, desired_width) -> jax.Array:
+    """Scale K for a width-`desired_width` resize, exactly as the reference.
 
-    (ref: VO_utility.cpp:658-671 — per-axis ratios; the follow-on
-    ``getOptimalNewCameraMatrix(alpha=0)`` is computed in
-    ``ergo_uvo_tpu.image.undistort.optimal_new_camera`` host-side.)
+    ``resize_camera_matrix`` (VO_utility.cpp:658-671) divides the whole K by
+    the single width ratio (aspect assumed preserved; target height is
+    ``int(orig_height/ratio)``), then restores the skew entry and K[2,2]=1.
+    The follow-on ``getOptimalNewCameraMatrix(alpha=0)`` is
+    ``ergo_uvo_tpu.image.undistort.optimal_new_camera`` (host-side, init-time).
     """
-    rx = new_width / orig_width
-    ry = new_height / orig_height
-    scale = jnp.asarray(
-        [[rx, rx, rx], [ry, ry, ry], [1.0, 1.0, 1.0]], dtype=K.dtype
-    )
-    K2 = K * scale
+    ratio = orig_width / desired_width
+    K2 = K / ratio
+    K2 = K2.at[..., 0, 1].set(K[..., 0, 1])
     return K2.at[..., 2, 2].set(1.0)
+
+
+def resized_height(orig_width: int, orig_height: int, desired_width: int) -> int:
+    """Target height for a width-preserving resize (truncating, as the ref)."""
+    return int(orig_height / (orig_width / desired_width))

@@ -1,0 +1,120 @@
+"""CLAHE — contrast-limited adaptive histogram equalization, pure JAX.
+
+The reference applies OpenCV's ``createCLAHE`` with a configurable clip limit
+(3 mono / 8 stereo) and the default 8x8 tile grid as the last preprocessing
+step (VO_utility.cpp:349-355,368-374).  This re-implementation follows
+OpenCV's algorithm closely (tile histograms → clip + excess redistribution →
+CDF LUTs → bilinear LUT interpolation) with fixed shapes:
+
+  * per-tile 256-bin histograms via one `segment_sum` scatter-add,
+  * OpenCV's integer excess redistribution (uniform + stepped residual),
+  * bilinear interpolation between the 4 neighboring tile LUTs as flat
+    gathers.
+
+Parity with cv2 is tolerance-band (±1-2 gray levels from rounding), per
+SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+HIST_SIZE = 256
+
+
+def _pad_reflect101(img: jax.Array, pad_h: int, pad_w: int) -> jax.Array:
+    """Extend bottom/right by BORDER_REFLECT_101, as OpenCV's CLAHE does."""
+    if pad_h:
+        img = jnp.concatenate([img, img[..., -2 : -2 - pad_h : -1, :]], axis=-2)
+    if pad_w:
+        img = jnp.concatenate([img, img[..., :, -2 : -2 - pad_w : -1]], axis=-1)
+    return img
+
+
+def clahe(
+    img: jax.Array,
+    clip_limit: float = 3.0,
+    grid: tuple[int, int] = (8, 8),
+) -> jax.Array:
+    """Apply CLAHE to a (H, W) float32 gray image in [0, 255].
+
+    Returns float32 in [0, 255].  Input intensities are rounded to integers
+    for the histogram/LUT (the reference operates on uint8).
+    """
+    h, w = img.shape
+    gh, gw = grid
+    th = -(-h // gh)  # ceil
+    tw = -(-w // gw)
+    pad_h, pad_w = th * gh - h, tw * gw - w
+    padded = _pad_reflect101(img, pad_h, pad_w)
+
+    ints = jnp.clip(jnp.round(padded), 0, 255).astype(jnp.int32)
+
+    # ---- per-tile histograms: one scatter-add over tile_id*256 + intensity.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, ints.shape, 0) // th
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, ints.shape, 1) // tw
+    tile_ids = row_ids * gw + col_ids
+    seg = tile_ids * HIST_SIZE + ints
+    hist = jax.ops.segment_sum(
+        jnp.ones_like(ints).reshape(-1),
+        seg.reshape(-1),
+        num_segments=gh * gw * HIST_SIZE,
+    ).reshape(gh * gw, HIST_SIZE)
+
+    # ---- clip + redistribute excess (OpenCV integer semantics).
+    tile_area = th * tw
+    clip = jnp.maximum(jnp.int32(int(clip_limit * tile_area / HIST_SIZE)), 1)
+    excess = jnp.sum(jnp.maximum(hist - clip, 0), axis=-1, keepdims=True)
+    clipped = jnp.minimum(hist, clip)
+    incr = excess // HIST_SIZE
+    residual = excess - incr * HIST_SIZE  # in [0, 255]
+    clipped = clipped + incr
+    # OpenCV: residualStep = max(histSize // residual, 1); bins 0, step, 2*step,
+    # ... (residual of them) each get +1.
+    step = jnp.maximum(HIST_SIZE // jnp.maximum(residual, 1), 1)
+    bin_idx = jax.lax.broadcasted_iota(jnp.int32, (1, HIST_SIZE), 1)
+    gets_one = (bin_idx % step == 0) & (bin_idx // step < residual)
+    clipped = clipped + gets_one.astype(clipped.dtype)
+
+    # ---- CDF -> LUT.
+    cdf = jnp.cumsum(clipped, axis=-1)
+    lut_scale = (HIST_SIZE - 1.0) / tile_area
+    luts = jnp.clip(jnp.round(cdf * lut_scale), 0, 255).astype(jnp.float32)
+    luts_flat = luts.reshape(-1)  # (gh*gw*256,)
+
+    # ---- bilinear interpolation of the 4 neighboring tile LUTs.
+    ph, pw = padded.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (ph, pw), 1)
+    tyf = ys / th - 0.5
+    txf = xs / tw - 0.5
+    ty0 = jnp.floor(tyf)
+    tx0 = jnp.floor(txf)
+    wy = tyf - ty0
+    wx = txf - tx0
+    # Clamp AFTER forming both neighbor indices (OpenCV order): in the outer
+    # half-tile border both neighbors collapse onto the edge tile.
+    ty0i = ty0.astype(jnp.int32)
+    tx0i = tx0.astype(jnp.int32)
+    ty1 = jnp.clip(ty0i + 1, 0, gh - 1)
+    tx1 = jnp.clip(tx0i + 1, 0, gw - 1)
+    ty0 = jnp.clip(ty0i, 0, gh - 1)
+    tx0 = jnp.clip(tx0i, 0, gw - 1)
+
+    pix = jnp.clip(jnp.round(padded), 0, 255).astype(jnp.int32)
+
+    def lut_at(ty, tx):
+        return jnp.take(luts_flat, (ty * gw + tx) * HIST_SIZE + pix)
+
+    v00 = lut_at(ty0, tx0)
+    v01 = lut_at(ty0, tx1)
+    v10 = lut_at(ty1, tx0)
+    v11 = lut_at(ty1, tx1)
+    out = (
+        v00 * (1 - wy) * (1 - wx)
+        + v01 * (1 - wy) * wx
+        + v10 * wy * (1 - wx)
+        + v11 * wy * wx
+    )
+    return jnp.clip(out[:h, :w], 0.0, 255.0)

@@ -1,0 +1,142 @@
+"""Per-frame preprocessing ops: gray, area resize, bilinear remap, full plan.
+
+Device-side half of the reference's ``get_image`` (VO_utility.cpp:337-379);
+the init-time half (grids, camera matrices) is :mod:`ergo_uvo_tpu.image.undistort`.
+All ops are pure JAX on float32 images in [0, 255], batchable with `vmap`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ergo_uvo_tpu.image import undistort as _und
+from ergo_uvo_tpu.image.clahe import clahe
+
+
+def rgb_to_gray(img: jax.Array) -> jax.Array:
+    """(..., H, W, 3) RGB -> (..., H, W) gray with OpenCV's BT.601 weights.
+
+    (ref: ``cvtColor(..., COLOR_RGB2GRAY)`` VO_utility.cpp:345,364.)
+    """
+    w = jnp.asarray([0.299, 0.587, 0.114], img.dtype)
+    return img @ w
+
+
+def resize_area(img: jax.Array, new_h: int, new_w: int) -> jax.Array:
+    """INTER_AREA resize (ref: VO_utility.cpp:361).
+
+    For integer downscale factors this is exact OpenCV INTER_AREA — plain
+    box-average pooling, implemented as two reshape-mean contractions (VPU
+    friendly, no gathers).  Non-integer ratios fall back to XLA's
+    `jax.image.resize` linear path (antialiased area behavior differs at the
+    margins; the pipeline's standard 2x/4x downscales take the exact path).
+    """
+    *batch, h, w = img.shape
+    if h % new_h == 0 and w % new_w == 0:
+        fh, fw = h // new_h, w // new_w
+        x = img.reshape(*batch, new_h, fh, new_w, fw)
+        return x.mean(axis=(-3, -1))
+    return jax.image.resize(img, (*batch, new_h, new_w), method="linear")
+
+
+def remap_bilinear(img: jax.Array, grid: jax.Array) -> jax.Array:
+    """Sample `img` (H, W) at `grid` (H', W', 2) (x, y) with bilinear weights.
+
+    Out-of-range samples produce 0, matching cv::undistort's
+    BORDER_CONSTANT(0) fill.  Implemented as four flat gathers — XLA lowers
+    these to efficient dynamic-gathers; a Pallas variant is not needed since
+    the gather is regular and memory-bound.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    x, y = grid[..., 0], grid[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        flat = img.reshape(*img.shape[:-2], h * w)
+        vals = jnp.take(flat, yc * w + xc, axis=-1)
+        return jnp.where(valid, vals, 0.0)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+class PreprocessPlan(NamedTuple):
+    """Init-time state for the per-frame preprocess (finalized from the first
+    frame's size, as the reference does — SURVEY.md §3.3)."""
+
+    new_h: int
+    new_w: int
+    grid: jax.Array  # (new_h, new_w, 2) undistortion sampling grid
+    K_resized: jax.Array  # (3, 3) resized original K
+    new_K: jax.Array  # (3, 3) alpha=0 optimal camera — the pipeline's K
+    clahe_enabled: bool
+    clip_limit: float
+
+
+def build_preprocess_plan(
+    K: np.ndarray,
+    dist: np.ndarray,
+    orig_width: int,
+    orig_height: int,
+    desired_width: int,
+    clahe_enabled: bool,
+    clip_limit: float,
+) -> PreprocessPlan:
+    """Host-side plan construction (once, from the first frame's dimensions).
+
+    Mirrors mono init (visual_odometry.h:221-222): rescale K by the width
+    ratio, derive the alpha=0 optimal new camera, precompute the undistortion
+    grid for the resized geometry.
+    """
+    K = np.asarray(K, np.float64)
+    dist = np.asarray(dist, np.float64)
+    ratio = orig_width / desired_width
+    new_h = int(orig_height / ratio)
+    new_w = desired_width
+    K_resized = K / ratio
+    K_resized[0, 1] = K[0, 1]
+    K_resized[2, 2] = 1.0
+    new_K = _und.optimal_new_camera(K_resized, dist, new_w, new_h)
+    grid = _und.build_undistort_grid(K_resized, dist, new_K, new_w, new_h)
+    return PreprocessPlan(
+        new_h=new_h,
+        new_w=new_w,
+        grid=jnp.asarray(grid),
+        K_resized=jnp.asarray(K_resized, jnp.float32),
+        new_K=jnp.asarray(new_K, jnp.float32),
+        clahe_enabled=bool(clahe_enabled),
+        clip_limit=float(clip_limit),
+    )
+
+
+def preprocess_frame(plan: PreprocessPlan, img: jax.Array) -> jax.Array:
+    """Full ``get_image`` path: resize -> gray -> undistort -> CLAHE.
+
+    `img`: (H, W, 3) RGB or (H, W) gray, float32 in [0, 255].
+    Returns (new_h, new_w) float32 gray in [0, 255].
+    """
+    if img.ndim == 3:
+        img = rgb_to_gray(img)
+    if img.shape != (plan.new_h, plan.new_w):
+        img = resize_area(img, plan.new_h, plan.new_w)
+    img = remap_bilinear(img, plan.grid)
+    if plan.clahe_enabled:
+        img = clahe(img, clip_limit=plan.clip_limit)
+    return img

@@ -153,7 +153,7 @@ class TestCamera:
 
     def test_resize_camera_matrix(self):
         K = self.CAM.K
-        K2 = resize_camera_matrix(K, 1280, 960, 640, 480)
+        K2 = resize_camera_matrix(K, 1280, 640)
         np.testing.assert_allclose(float(K2[0, 0]), 250.0, atol=1e-4)
         np.testing.assert_allclose(float(K2[1, 2]), 120.0, atol=1e-4)
         np.testing.assert_allclose(float(K2[2, 2]), 1.0)
