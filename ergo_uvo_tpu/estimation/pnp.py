@@ -138,37 +138,52 @@ def solve_pnp_ransac(
     reprojection_error: float = 1.0,
     num_hypotheses: int = 512,
     min_inliers: int = 5,
-    refine_iters: int = 10,
+    refine_iters: int = 8,
+    set_size: int = 8,
+    polish_rounds: int = 3,
 ) -> PnPResult:
-    """solvePnPRansac equivalent: hypothesize-DLT, score, GN-polish.
+    """solvePnPRansac equivalent: hypothesize-DLT, score, LO-polish.
 
     `reprojection_error` is the pixel inlier gate (stereo config
     `reprojection_error: 1.0`, stereo_VO_parameters.yaml:29).
+
+    Hypotheses use `set_size`-point least-squares DLT (8 > the 6-point minimum:
+    an exact-fit minimal solve amplifies keypoint/3D noise so much that even
+    the best hypothesis captures few inliers).  The winner then goes through
+    `polish_rounds` of LO-RANSAC-style (Chum et al.) local optimization —
+    Gauss-Newton on the current inlier set, re-gate inliers, keep if the
+    consensus grew — which is what makes the small-motion stereo regime (large
+    depth / tiny baseline per frame) converge to the true basin.
     """
     xn = jnp.stack(
         [(xy[..., 0] - K[0, 2]) / K[0, 0], (xy[..., 1] - K[1, 2]) / K[1, 1]], -1
     )
-    idx, sets_valid = sample_minimal_sets(key, mask, num_hypotheses, 6)
+    idx, sets_valid = sample_minimal_sets(key, mask, num_hypotheses, set_size)
     Rs, ts = _dlt_projection(X[idx], xn[idx])
     finite = jnp.all(jnp.isfinite(Rs.reshape(Rs.shape[0], -1)), -1) & jnp.all(
         jnp.isfinite(ts), -1
     )
     r2 = _reproj_error_sq(Rs, ts, K, X, xy)  # (H, N)
     best, inliers = score_hypotheses(
-        r2, mask, sets_valid & finite, RANSAC, reprojection_error, model_points=6
+        r2, mask, sets_valid & finite, RANSAC, reprojection_error,
+        model_points=set_size,
     )
-    R_best, t_best = Rs[best], ts[best]
 
-    # GN polish on the inlier set (OpenCV's final refinement stage).
-    w = inliers.astype(X.dtype)
-    R_ref, t_ref = gauss_newton_pnp(R_best, t_best, K, X, xy, w, refine_iters)
-    # Keep the refinement only if it did not diverge.
-    r2_ref = _reproj_error_sq(R_ref, t_ref, K, X, xy)
-    inl_ref = mask & (r2_ref <= reprojection_error**2)
-    better = jnp.sum(inl_ref) >= jnp.sum(inliers)
-    R_out = jnp.where(better, R_ref, R_best)
-    t_out = jnp.where(better, t_ref, t_best)
-    inl_out = jnp.where(better, inl_ref, inliers)
+    thr2 = reprojection_error * reprojection_error
 
+    def polish(carry, _):
+        R, t, inl = carry
+        R2, t2 = gauss_newton_pnp(R, t, K, X, xy, inl.astype(X.dtype), refine_iters)
+        r2n = _reproj_error_sq(R2, t2, K, X, xy)
+        inl2 = mask & (r2n <= thr2)
+        grew = jnp.sum(inl2) >= jnp.sum(inl)
+        R = jnp.where(grew, R2, R)
+        t = jnp.where(grew, t2, t)
+        inl = jnp.where(grew, inl2, inl)
+        return (R, t, inl), None
+
+    (R_out, t_out, inl_out), _ = jax.lax.scan(
+        polish, (Rs[best], ts[best], inliers), None, length=polish_rounds
+    )
     success = jnp.sum(inl_out.astype(jnp.int32)) >= min_inliers
     return PnPResult(R=R_out, t=t_out, inliers=inl_out, success=success)

@@ -104,13 +104,13 @@ def estimate_relative_pose(
     )
 
     prefer_essential = select_estimation_method(xy1, xy2, mask, cfg.distance)
-    # Outcome method: the preferred one if it passed, else the other if it
-    # passed after the switch, else the first attempt's (failed) outputs.
+    # Outcome method: the preferred one if it passed, else the switched one —
+    # whether or not it passed: on total failure the reference's output Mats
+    # hold the LAST attempted method's estimate (the while loop overwrites
+    # R/t each attempt before breaking, VO_utility.cpp:140-179).
     first_ok = jnp.where(prefer_essential, ok_e, ok_h)
     second_ok = jnp.where(prefer_essential, ok_h, ok_e)
-    use_essential = jnp.where(
-        first_ok, prefer_essential, jnp.where(second_ok, ~prefer_essential, prefer_essential)
-    )
+    use_essential = jnp.where(first_ok, prefer_essential, ~prefer_essential)
     success = first_ok | second_ok
 
     def pick(e_val, h_val):

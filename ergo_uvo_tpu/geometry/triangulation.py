@@ -114,12 +114,18 @@ def filter_3d_points(
     pts2: jax.Array,
     reprojection_tolerance: float,
     sigma_gate: float = 3.0,
+    min_points: int = 0,
 ):
     """Masked re-implementation of ``extract_3Dpoints`` (VO_utility.cpp:188-237).
 
     Two gates, applied to already-valid lanes:
       1. mean two-view reprojection error < tolerance AND depth (view-1 Z) > 0;
       2. view-1 Z within mean ± `sigma_gate`·σ of the gate-1 survivors.
+
+    With `min_points` > 0 the reference's short-circuits apply: gate 1 only
+    runs when >= min_points candidates exist (VO_utility.cpp:203) and gate 2
+    only when gate 1 kept >= min_points (VO_utility.cpp:222) — otherwise the
+    output mask is empty.
 
     Returns (mask_out, mean_reproj_err) with `mask_out ⊆ mask`; no compaction —
     downstream consumers stay fixed-shape.
@@ -129,9 +135,13 @@ def filter_3d_points(
     mean_err = 0.5 * (e1 + e2)
     z = (points3d @ R1.T + t1[None, :])[..., 2]
     gate1 = mask & (mean_err < reprojection_tolerance) & (z > 0)
+    if min_points > 0:
+        gate1 = gate1 & (jnp.sum(mask.astype(jnp.int32)) >= min_points)
     z_mean, z_var = masked_mean_and_variance(z, gate1)
     z_std = jnp.sqrt(jnp.maximum(z_var, 0.0))
     gate2 = gate1 & (jnp.abs(z - z_mean) <= sigma_gate * z_std)
+    if min_points > 0:
+        gate2 = gate2 & (jnp.sum(gate1.astype(jnp.int32)) >= min_points)
     return gate2, mean_err
 
 

@@ -1,0 +1,224 @@
+"""Monocular UVO pipeline — the reference's ``mono_VO`` as a masked scan.
+
+Re-designs the steady-state loop of visual_odometry.h:167-398 as a pure
+step function over a carried :class:`MonoVOState`, with every skip/fallback
+branch (SURVEY.md §3.1 failure handling) expressed as masked selection:
+
+  frame -> detect+describe -> match(prev, curr) -> method select ->
+  essential/homography + switch-once -> triangulate + gates -> range scale ->
+  velocity + validity, state shift prev <- curr.
+
+Failure semantics preserved exactly:
+  * < MIN_NUM_FEATURES detections or matches -> frame skipped (nothing
+    published), state still shifts (visual_odometry.h:276-307);
+  * pose failure -> publish last-attempt pose with validity 0
+    ("assume constant motion", :335-344);
+  * < MIN_NUM_3DPOINTS after gating or empty cheirality set -> validity 0,
+    SF stale (:358-375);
+  * SF = range / median(Z) over the *previous-frame* coordinates of points
+    that pass cheirality in the current frame — the reference's
+    ``convert_3Dpoints_camera`` returns source-frame rows (VO_utility.cpp:55,
+    see SURVEY.md §2.1) — preserved for parity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ergo_uvo_tpu.config import MonoVOConfig
+from ergo_uvo_tpu.estimation.relative_pose import estimate_relative_pose
+from ergo_uvo_tpu.features.frontend import detect_and_describe
+from ergo_uvo_tpu.features.matcher import match_descriptors
+from ergo_uvo_tpu.geometry.camera import projection_matrix
+from ergo_uvo_tpu.geometry.stats import masked_median
+from ergo_uvo_tpu.geometry.triangulation import (
+    cheirality_mask,
+    filter_3d_points,
+    triangulate_points,
+)
+
+
+class MonoVOState(NamedTuple):
+    """Carried frame-to-frame state (visual_odometry.h:209-215, :392-395)."""
+
+    prev_xy: jax.Array  # (K, 2)
+    prev_desc: jax.Array  # (K, D)
+    prev_mask: jax.Array  # (K,)
+    prev_time: jax.Array  # f32 seconds
+    R: jax.Array  # (3, 3) last relative rotation (curr <- prev)
+    t: jax.Array  # (3,) last unit translation
+    SF: jax.Array  # f32 metric scale factor (init 1.0, :204)
+    initialized: jax.Array  # bool — init handshake done (:227-245)
+
+
+class MonoFrameOutput(NamedTuple):
+    """Per-frame record: the ROS topics + structured diagnostics (§5)."""
+
+    velocity: jax.Array  # (3,) camera-frame linear velocity
+    validity: jax.Array  # bool — successful_estimate
+    published: jax.Array  # bool — False for skipped/init frames
+    R: jax.Array  # (3, 3)
+    t: jax.Array  # (3,)
+    scale_factor: jax.Array
+    num_features: jax.Array
+    num_matches: jax.Array
+    num_inliers: jax.Array
+    num_3d_points: jax.Array
+    used_essential: jax.Array
+    median_disparity: jax.Array
+
+
+def mono_vo_init(
+    max_keypoints: int = 512, descriptor_dim: int = 64, dtype=jnp.float32
+) -> MonoVOState:
+    return MonoVOState(
+        prev_xy=jnp.zeros((max_keypoints, 2), dtype),
+        prev_desc=jnp.zeros((max_keypoints, descriptor_dim), dtype),
+        prev_mask=jnp.zeros(max_keypoints, bool),
+        prev_time=jnp.zeros((), dtype),
+        R=jnp.eye(3, dtype=dtype),
+        t=jnp.zeros(3, dtype),
+        SF=jnp.ones((), dtype),
+        initialized=jnp.zeros((), bool),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mono_vo_step(
+    state: MonoVOState,
+    img: jax.Array,  # (H, W) preprocessed gray frame
+    timestamp: jax.Array,  # f32 seconds
+    range_measure: jax.Array,  # f32 distance-to-scene (sensor_msgs/Range)
+    K: jax.Array,  # (3, 3) pipeline camera (the alpha=0 new K)
+    key: jax.Array,
+    cfg: MonoVOConfig,
+):
+    """One frame of mono VO.  Returns (next_state, MonoFrameOutput)."""
+    kpts, desc = detect_and_describe(
+        img, cfg.surf, cfg.max_keypoints, cfg.feature_detector
+    )
+    n_features = kpts.count
+    enough_features = n_features >= cfg.min_num_features
+
+    # ---- init handshake (visual_odometry.h:227-245): before initialization,
+    # a frame only becomes `prev` if it has enough features.
+    becomes_init = (~state.initialized) & enough_features
+    run_steady = state.initialized
+
+    # ---- matching (prev -> curr; VO_utility.cpp:551-573).
+    matches = match_descriptors(
+        state.prev_desc, state.prev_mask, desc, kpts.mask, cfg.lowe_ratio_test
+    )
+    prev_xy = jnp.where(matches.mask[:, None], state.prev_xy, 0.0)
+    curr_xy = jnp.where(
+        matches.mask[:, None], jnp.take(kpts.xy, matches.idx, axis=0), 0.0
+    )
+    n_matches = matches.count
+    enough_matches = n_matches >= cfg.min_num_features
+    process = run_steady & enough_features & enough_matches
+
+    disp = jnp.linalg.norm(prev_xy - curr_xy, axis=-1)
+    median_disp = masked_median(disp, matches.mask)
+
+    # ---- relative pose with method selection + switch-once.
+    pose = estimate_relative_pose(
+        key, prev_xy, curr_xy, matches.mask, K, cfg, state.R, state.t
+    )
+    pose_success = pose.success & process
+
+    # ---- triangulation + gating (visual_odometry.h:349-375).
+    eye3 = jnp.eye(3, dtype=K.dtype)
+    zero3 = jnp.zeros(3, K.dtype)
+    P1 = projection_matrix(K, eye3, zero3)
+    P2 = projection_matrix(K, pose.R, pose.t)
+    tri_mask = pose.triangulation_inliers & matches.mask
+    X = triangulate_points(P1, P2, prev_xy, curr_xy)
+    good_mask, _ = filter_3d_points(
+        X, tri_mask,
+        K, eye3, zero3, K, pose.R, pose.t,
+        prev_xy, curr_xy,
+        cfg.reprojection_threshold,
+        min_points=cfg.min_num_3d_points,
+    )
+    n_3d = jnp.sum(good_mask.astype(jnp.int32))
+    enough_3d = n_3d >= cfg.min_num_3d_points
+
+    # Cheirality in the current frame; Z stays in the previous frame
+    # (convert_3Dpoints_camera's source-frame return, VO_utility.cpp:46-63).
+    che_mask = good_mask & cheirality_mask(pose.R, pose.t, X)
+    n_che = jnp.sum(che_mask.astype(jnp.int32))
+    z_prev = X[:, 2]
+    sf_new = range_measure / jnp.maximum(masked_median(z_prev, che_mask), 1e-9)
+
+    update_sf = pose_success & enough_3d & (n_che > 0)
+    validity = update_sf
+    SF = jnp.where(update_sf, sf_new, state.SF)
+
+    # On a processed frame the carried (R, t) always take the estimator's
+    # output (even when validity drops — the reference's member Mats hold the
+    # last attempt, see estimate_relative_pose docstring).
+    R_out = jnp.where(process, pose.R, state.R)
+    t_out = jnp.where(process, pose.t, state.t)
+
+    # ---- output (mono_output_computation, visual_odometry.h:126-140).
+    delta_t = timestamp - state.prev_time
+    safe_dt = jnp.where(jnp.abs(delta_t) < 1e-6, 1.0, delta_t)
+    velocity = -SF * (R_out.T @ t_out) / safe_dt
+    published = process
+
+    # ---- state shift (prev <- curr whenever initialized or initializing).
+    take_curr = run_steady | becomes_init
+    next_state = MonoVOState(
+        prev_xy=jnp.where(take_curr, kpts.xy, state.prev_xy),
+        prev_desc=jnp.where(take_curr, desc, state.prev_desc),
+        prev_mask=jnp.where(take_curr, kpts.mask, state.prev_mask),
+        prev_time=jnp.where(take_curr, timestamp, state.prev_time),
+        R=R_out,
+        t=t_out,
+        SF=SF,
+        initialized=state.initialized | becomes_init,
+    )
+    out = MonoFrameOutput(
+        velocity=jnp.where(published, velocity, 0.0),
+        validity=validity & published,
+        published=published,
+        R=R_out,
+        t=t_out,
+        scale_factor=SF,
+        num_features=n_features,
+        num_matches=n_matches,
+        num_inliers=pose.num_inliers,
+        num_3d_points=n_3d,
+        used_essential=pose.used_essential & published,
+        median_disparity=median_disp,
+    )
+    return next_state, out
+
+
+def run_mono_vo(
+    imgs: jax.Array,  # (T, H, W) preprocessed gray frames
+    timestamps: jax.Array,  # (T,)
+    ranges: jax.Array,  # (T,) range-sensor measurements
+    K: jax.Array,
+    cfg: MonoVOConfig,
+    key: jax.Array,
+    state: MonoVOState | None = None,
+):
+    """Scan the mono step over a frame sequence; returns (state, outputs).
+
+    One `lax.scan` = one XLA program for the whole sequence — the TPU-shaped
+    analogue of the reference's 20 Hz spin loop, with no host round-trips.
+    """
+    if state is None:
+        state = mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim, imgs.dtype)
+    keys = jax.random.split(key, imgs.shape[0])
+
+    def step(carry, inp):
+        img, ts, rng_m, k = inp
+        return mono_vo_step(carry, img, ts, rng_m, K, k, cfg)
+
+    return jax.lax.scan(step, state, (imgs, timestamps, ranges, keys))
