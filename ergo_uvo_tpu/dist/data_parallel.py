@@ -1,0 +1,47 @@
+"""Data parallelism for the VO front end: independent sequences per device.
+
+VO is sequential in time (the scan carries prev-frame state), so frame-level
+DP is over *independent streams* — per-camera, per-dive-segment, or hypothesis
+replays (SURVEY.md §2.3 "Data parallelism over frames/hypotheses").  The batch
+axis is sharded over the mesh; each device scans its own stream; XLA inserts
+no collectives (embarrassingly parallel), so throughput scales linearly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ergo_uvo_tpu.config import MonoVOConfig
+from ergo_uvo_tpu.pipeline.mono import run_mono_vo
+
+
+def run_mono_vo_batch(
+    mesh: Mesh,
+    imgs: jax.Array,  # (B, T, H, W) — B independent streams
+    timestamps: jax.Array,  # (B, T)
+    ranges: jax.Array,  # (B, T)
+    K: jax.Array,  # (3, 3) shared intrinsics
+    cfg: MonoVOConfig,
+    key: jax.Array,
+    axis_name: str = "data",
+):
+    """Run B mono-VO streams, B sharded over the mesh.  Returns vmapped outputs."""
+    B = imgs.shape[0]
+    keys = jax.random.split(key, B)
+    shard_b = NamedSharding(mesh, P(axis_name))
+
+    imgs = jax.device_put(imgs, NamedSharding(mesh, P(axis_name, None, None, None)))
+    timestamps = jax.device_put(timestamps, NamedSharding(mesh, P(axis_name, None)))
+    ranges = jax.device_put(ranges, NamedSharding(mesh, P(axis_name, None)))
+    keys = jax.device_put(keys, NamedSharding(mesh, P(axis_name, None)))
+
+    fn = jax.jit(
+        jax.vmap(
+            lambda im, ts, rg, k: run_mono_vo(im, ts, rg, K, cfg, k),
+            in_axes=(0, 0, 0, 0),
+        ),
+        out_shardings=(None, None),
+    )
+    return fn(imgs, timestamps, ranges, keys)

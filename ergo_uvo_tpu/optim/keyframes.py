@@ -43,6 +43,7 @@ def build_ba_problem(
     K_cam: jax.Array,
     lowe_ratio: float = 0.8,
     min_track_length: int = 2,
+    num_fixed_poses: int = 2,
 ):
     """Associate window features to anchor landmarks and build a BAProblem.
 
@@ -80,11 +81,13 @@ def build_ba_problem(
     z0 = (X0 @ window.R[0].T + window.t[0])[:, 2]
     lm_mask = lm_mask & (z0 > 0)
     obs_mask = obs_mask & lm_mask[None, :]
+    # Two anchored poses: monocular BA has a 7-dof gauge (SE(3) + scale);
+    # fixing one pose pins the frame, the second pins the scale.
     problem = BAProblem(
         K=K_cam,
         obs_uv=obs_uv,
         obs_mask=obs_mask,
-        num_fixed_poses=1,
+        num_fixed_poses=num_fixed_poses,
     )
     return problem, jnp.where(lm_mask[:, None], X0, 0.0), lm_mask
 
