@@ -1,0 +1,12 @@
+"""Auxiliary subsystems (SURVEY.md §5): checkpointing, profiling, records."""
+
+from ergo_uvo_tpu.utils.checkpoint import (  # noqa: F401
+    restore_state,
+    save_state,
+)
+from ergo_uvo_tpu.utils.profiling import (  # noqa: F401
+    FrameRateCounter,
+    stage,
+    trace,
+)
+from ergo_uvo_tpu.utils.records import RunRecorder  # noqa: F401

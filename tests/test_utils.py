@@ -1,0 +1,61 @@
+"""Aux subsystems: checkpoint round-trip, recorder, profiling helpers."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ergo_uvo_tpu.pipeline import mono_vo_init
+from ergo_uvo_tpu.utils import FrameRateCounter, RunRecorder, stage
+from ergo_uvo_tpu.utils.checkpoint import restore_state, save_state
+
+
+class TestCheckpoint:
+    def test_roundtrip_mono_state(self, tmp_path):
+        state = mono_vo_init(64, 64)
+        state = state._replace(
+            SF=jnp.asarray(2.5), t=jnp.asarray([1.0, 2.0, 3.0]),
+            initialized=jnp.asarray(True),
+        )
+        path = str(tmp_path / "ckpt")
+        save_state(path, state)
+        restored = restore_state(path, mono_vo_init(64, 64))
+        assert type(restored) is type(state)
+        np.testing.assert_allclose(float(restored.SF), 2.5)
+        np.testing.assert_allclose(np.asarray(restored.t), [1.0, 2.0, 3.0])
+        assert bool(restored.initialized)
+
+
+class TestRecorder:
+    def test_jsonl_records(self, tmp_path):
+        p = str(tmp_path / "run.jsonl")
+        rec = RunRecorder(p)
+        rec.record_frame(0, {"velocity": jnp.asarray([1.0, 0, 0]), "validity": True},
+                         note="x")
+        rec.record_frame(1, {"velocity": jnp.asarray([0.0, 1, 0]), "validity": False})
+        rec.close()
+        lines = [json.loads(l) for l in open(p)]
+        assert lines[0]["frame"] == 0
+        assert lines[0]["velocity"] == [1.0, 0.0, 0.0]
+        assert lines[0]["note"] == "x"
+        assert lines[1]["validity"] is False
+
+
+class TestProfiling:
+    def test_stage_scope_composes_with_jit(self):
+        @jax.jit
+        def f(x):
+            with stage("double"):
+                return x * 2
+
+        assert float(f(jnp.asarray(3.0))) == 6.0
+
+    def test_frame_rate_counter(self):
+        c = FrameRateCounter()
+        c.tick()
+        fps = c.tick()
+        assert fps > 0
+        assert c.total_frames == 2
