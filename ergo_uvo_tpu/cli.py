@@ -1,0 +1,182 @@
+"""Command-line runner — the reference's L3/L4 (UVO_node + launch/config).
+
+Replaces `main()` + roslaunch (UVO_node.cpp:9-29, UVO_node.launch:1-41): the
+`visual_odometry_node` mono/stereo switch becomes a subcommand, the rosparam
+YAML files load unchanged via :mod:`ergo_uvo_tpu.config`, the rosbag becomes a
+directory of JPEG frames (decoded by the native loader when available) or a
+synthetic sequence, and the output topics become a JSONL record stream + a
+trajectory file.
+
+Usage:
+  python -m ergo_uvo_tpu.cli mono --params mono_VO_parameters.yaml \
+      --intrinsics mono_VO_intrinsics.yaml --camera downward_camera \
+      --frames /path/to/jpegs --ranges ranges.txt --out run.jsonl
+  python -m ergo_uvo_tpu.cli mono --synthetic 64 --out run.jsonl
+  python -m ergo_uvo_tpu.cli stereo --synthetic 64 --out run.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _load_frames(args, gray=True):
+    paths = sorted(glob.glob(os.path.join(args.frames, "*.jpg"))) + sorted(
+        glob.glob(os.path.join(args.frames, "*.jpeg"))
+    )
+    if not paths:
+        raise SystemExit(f"no JPEG frames under {args.frames}")
+    from ergo_uvo_tpu.io import native
+
+    frames = {}
+    if native.available():
+        loader = native.JpegLoader(paths, threads=4, gray=gray)
+        for idx, img in loader:
+            frames[idx] = img
+        loader.close()
+    else:  # PIL fallback
+        from PIL import Image
+
+        for i, p in enumerate(paths):
+            img = Image.open(p)
+            frames[i] = np.asarray(img.convert("L" if gray else "RGB"))
+    imgs = np.stack([frames[i] for i in range(len(paths))]).astype(np.float32)
+    return imgs
+
+
+def _run_mono(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ergo_uvo_tpu.config import MonoVOConfig, load_mono_intrinsics, load_vo_params
+    from ergo_uvo_tpu.eval import integrate_mono_trajectory
+    from ergo_uvo_tpu.image import build_preprocess_plan, preprocess_frame
+    from ergo_uvo_tpu.io import make_mono_sequence
+    from ergo_uvo_tpu.pipeline import run_mono_vo
+    from ergo_uvo_tpu.utils import RunRecorder
+
+    cfg = (
+        load_vo_params(args.params)
+        if args.params
+        else MonoVOConfig()
+    )
+
+    if args.synthetic:
+        seq = make_mono_sequence(n_frames=args.synthetic, height=480, width=640)
+        imgs, tss, rgs, K = seq.imgs_left, seq.timestamps, seq.ranges, seq.K
+        gt_positions = seq.positions
+    else:
+        if not (args.intrinsics and args.camera and args.ranges):
+            raise SystemExit("--intrinsics, --camera and --ranges required "
+                             "(or use --synthetic N)")
+        intr = load_mono_intrinsics(args.intrinsics, args.camera)
+        imgs = _load_frames(args)
+        h, w = imgs.shape[1:3]
+        plan = build_preprocess_plan(
+            intr.K(), intr.dist_coeffs(), w, h, cfg.preprocessing.desired_width,
+            cfg.preprocessing.clahe, cfg.preprocessing.clip_limit,
+        )
+        pre = jax.jit(jax.vmap(lambda im: preprocess_frame(plan, im)))
+        imgs = np.asarray(pre(jnp.asarray(imgs)))
+        K = np.asarray(plan.new_K)
+        rgs = np.loadtxt(args.ranges).astype(np.float32)
+        tss = np.arange(len(imgs), dtype=np.float32) / cfg.node_freq
+        gt_positions = None
+
+    state, outs = run_mono_vo(
+        jnp.asarray(imgs), jnp.asarray(tss), jnp.asarray(rgs),
+        jnp.asarray(K), cfg, jax.random.PRNGKey(args.seed),
+    )
+    outs = jax.tree.map(np.asarray, outs)
+
+    rec = RunRecorder(args.out)
+    for i in range(len(imgs)):
+        rec.record_frame(i, jax.tree.map(lambda v, i=i: v[i], outs))
+    rec.close()
+
+    pos = integrate_mono_trajectory(outs.velocity, outs.R, tss, outs.published)
+    np.savetxt(os.path.splitext(args.out)[0] + "_trajectory.txt", pos)
+    summary = {
+        "frames": int(len(imgs)),
+        "published": int(outs.published.sum()),
+        "valid": int(outs.validity.sum()),
+        "mean_inliers": float(outs.num_inliers[outs.published].mean())
+        if outs.published.any()
+        else 0.0,
+    }
+    if gt_positions is not None:
+        from ergo_uvo_tpu.eval import ate_rmse
+
+        summary["ate_m"] = ate_rmse(pos, gt_positions - gt_positions[0])
+    print(json.dumps(summary))
+
+
+def _run_stereo(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ergo_uvo_tpu.config import StereoVOConfig, load_stereo_intrinsics, load_vo_params
+    from ergo_uvo_tpu.io import make_stereo_sequence
+    from ergo_uvo_tpu.pipeline import run_stereo_vo
+    from ergo_uvo_tpu.pipeline.stereo import StereoRig
+    from ergo_uvo_tpu.utils import RunRecorder
+
+    cfg = (
+        load_vo_params(args.params, stereo=True)
+        if args.params
+        else StereoVOConfig()
+    )
+    if not args.synthetic:
+        raise SystemExit("stereo file ingestion: provide --synthetic N for now "
+                         "(left/right frame-directory ingestion lands with the "
+                         "rig rectification tooling)")
+    seq = make_stereo_sequence(n_frames=args.synthetic, height=480, width=640)
+    rig = StereoRig(
+        K_left=jnp.asarray(seq.K), K_right=jnp.asarray(seq.K),
+        R_right=jnp.eye(3), t_right=jnp.asarray([-0.33, 0.0, 0.0]),
+    )
+    state, outs = run_stereo_vo(
+        jnp.asarray(seq.imgs_left), jnp.asarray(seq.imgs_right),
+        jnp.asarray(seq.timestamps), rig, cfg, jax.random.PRNGKey(args.seed),
+    )
+    outs = jax.tree.map(np.asarray, outs)
+    rec = RunRecorder(args.out)
+    for i in range(args.synthetic):
+        rec.record_frame(i, jax.tree.map(lambda v, i=i: v[i], outs))
+    rec.close()
+    print(json.dumps({
+        "frames": int(args.synthetic),
+        "published": int(outs.published.sum()),
+        "valid": int(outs.validity.sum()),
+    }))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ergo_uvo_tpu")
+    sub = p.add_subparsers(dest="mode", required=True)
+    for mode in ("mono", "stereo"):
+        sp = sub.add_parser(mode)
+        sp.add_argument("--params", help="reference-format *_VO_parameters.yaml")
+        sp.add_argument("--intrinsics", help="reference-format intrinsics yaml")
+        sp.add_argument("--camera", help="camera block name (e.g. downward_camera)")
+        sp.add_argument("--frames", help="directory of JPEG frames")
+        sp.add_argument("--ranges", help="text file of per-frame range readings")
+        sp.add_argument("--synthetic", type=int, default=0,
+                        help="run on an N-frame synthetic sequence instead")
+        sp.add_argument("--out", default="run.jsonl")
+        sp.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    if args.mode == "mono":
+        _run_mono(args)
+    else:
+        _run_stereo(args)
+
+
+if __name__ == "__main__":
+    main()
