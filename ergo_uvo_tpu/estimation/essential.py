@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ergo_uvo_tpu.estimation.robust import score_hypotheses
 from ergo_uvo_tpu.estimation.sampling import sample_minimal_sets
+from ergo_uvo_tpu.geometry.linalg import smallest_eigvec
 from ergo_uvo_tpu.geometry.triangulation import triangulate_points
 
 # OpenCV recoverPose's hard-coded cheirality distance gate (five-point.cpp):
@@ -35,11 +36,19 @@ def _normalized(K: jax.Array, xy: jax.Array) -> jax.Array:
     return jnp.stack([x, y], -1)
 
 
-def eight_point_essential(x1: jax.Array, x2: jax.Array) -> jax.Array:
+def eight_point_essential(
+    x1: jax.Array, x2: jax.Array, project: bool = False
+) -> jax.Array:
     """Batched 8-point essential from normalized coords.
 
-    Args: x1, x2 of shape (H, 8, 2).  Returns (H, 3, 3) essential matrices
-    (projected onto the essential manifold: singular values (1, 1, 0)).
+    Args: x1, x2 of shape (H, 8, 2).  Returns (H, 3, 3) essential matrices.
+    The null vector comes from a batched Jacobi eigensolve (XLA's generic
+    batched `eigh` is far slower for hundreds of 9x9 systems on TPU).
+
+    With `project=False` (the RANSAC default) the raw linear solution is
+    scored directly — Sampson scoring is insensitive to the (1,1,0) manifold
+    projection, so only the *winning* hypothesis gets projected
+    (`project_to_essential`), saving a batched SVD per frame.
     """
     ones = jnp.ones_like(x1[..., :1])
     X1 = jnp.concatenate([x1, ones], -1)  # (H, 8, 3)
@@ -47,10 +56,15 @@ def eight_point_essential(x1: jax.Array, x2: jax.Array) -> jax.Array:
     # Constraint rows: kron(x2, x1) for x2^T E x1 = 0, E row-major.
     A = jnp.einsum("hni,hnj->hnij", X2, X1).reshape(*x1.shape[:-2], 8, 9)
     AtA = jnp.einsum("hni,hnj->hij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    e = vecs[..., :, 0]  # smallest eigenvector
+    e = smallest_eigvec(AtA)
     E = e.reshape(*e.shape[:-1], 3, 3)
-    # Project to the essential manifold.
+    if project:
+        E = project_to_essential(E)
+    return E
+
+
+def project_to_essential(E: jax.Array) -> jax.Array:
+    """Project onto the essential manifold: singular values -> (s, s, 0)."""
     u, s, vt = jnp.linalg.svd(E)
     sigma = 0.5 * (s[..., 0] + s[..., 1])
     d = jnp.stack([sigma, sigma, jnp.zeros_like(sigma)], -1)
@@ -149,4 +163,6 @@ def find_essential(
     best, inliers = score_hypotheses(
         r2, mask, sets_valid, method, thresh_norm, model_points=8
     )
-    return Es[best], inliers
+    # Only the winner is projected onto the essential manifold (recoverPose's
+    # SVD assumes the (s, s, 0) spectrum).
+    return project_to_essential(Es[best]), inliers

@@ -2,11 +2,12 @@
 
 TPU-native replacement for the reference's ``solvePnPRansac`` call
 (visual_odometry.h:647-648: EPnP, 1000 iters, 1.0 px reprojection, 0.99
-confidence).  Per SURVEY.md §7.2 step 5 the minimal solver is a batched
-6-point DLT of the projection matrix (a 12x12 symmetric eigensolve per
-hypothesis — batched and f32-stable) followed by orthonormalization; the
-winning hypothesis is polished by fixed-iteration Gauss-Newton on SE(3) over
-its inliers, which plays the role of OpenCV's final iterative refinement.
+confidence).  Per SURVEY.md §7.2 step 5 the minimal solver is batched P3P
+(estimation/p3p.py — planar-safe, unlike projection-matrix DLT, which is kept
+below as `_dlt_projection` for well-conditioned non-planar least-squares
+fits); the winning hypothesis is polished by fixed-iteration Gauss-Newton on
+SE(3) over its inliers, which plays the role of OpenCV's final iterative
+refinement.
 
 Convention: (R, t) map world (previous-left-camera) points into the current
 camera: x_cam = R @ X + t — identical to OpenCV's rvec/tvec.
@@ -19,10 +20,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ergo_uvo_tpu.estimation.p3p import p3p
 from ergo_uvo_tpu.estimation.robust import score_hypotheses
 from ergo_uvo_tpu.estimation.sampling import sample_minimal_sets
 from ergo_uvo_tpu.config import RANSAC
-from ergo_uvo_tpu.geometry.rotations import project_to_so3, skew, so3_exp
+from ergo_uvo_tpu.geometry.linalg import polar_so3, smallest_eigvec
+from ergo_uvo_tpu.geometry.rotations import skew, so3_exp
 
 
 class PnPResult(NamedTuple):
@@ -32,14 +35,24 @@ class PnPResult(NamedTuple):
     success: jax.Array  # scalar bool
 
 
-def _dlt_projection(X: jax.Array, xn: jax.Array):
-    """Batched DLT: 6 world points + normalized image points -> (R, t).
+def _dlt_projection(X_raw: jax.Array, xn: jax.Array):
+    """Batched DLT: m world points + normalized image points -> (R, t).
 
-    X: (H, 6, 3); xn: (H, 6, 2) normalized coords.  Returns (H,3,3), (H,3).
+    X_raw: (H, m, 3); xn: (H, m, 2) normalized coords.  Returns (H,3,3), (H,3).
+
+    World points are Hartley-normalized per hypothesis (centroid to origin,
+    RMS radius sqrt(3)) before building the 12x12 normal matrix — without
+    this, f32 null-space extraction on raw coordinates loses the smallest
+    eigenvector to the ~1e7 condition number.
     """
-    Hh = X.shape[0]
+    Hh = X_raw.shape[0]
+    mean = jnp.mean(X_raw, axis=-2, keepdims=True)
+    Xc = X_raw - mean
+    rms = jnp.sqrt(jnp.mean(jnp.sum(Xc * Xc, -1), -1, keepdims=True))
+    s = jnp.sqrt(3.0) / jnp.maximum(rms, 1e-9)  # (H, 1)
+    X = Xc * s[..., None]
     ones = jnp.ones_like(X[..., :1])
-    Xh = jnp.concatenate([X, ones], -1)  # (H, 6, 4)
+    Xh = jnp.concatenate([X, ones], -1)  # (H, m, 4)
     z = jnp.zeros_like(Xh)
     u = xn[..., 0:1]
     v = xn[..., 1:2]
@@ -47,8 +60,16 @@ def _dlt_projection(X: jax.Array, xn: jax.Array):
     rows_v = jnp.concatenate([z, Xh, -v * Xh], -1)
     A = jnp.concatenate([rows_u, rows_v], -2)  # (H, 12, 12)
     AtA = jnp.einsum("hni,hnj->hij", A, A)
-    _, vecs = jnp.linalg.eigh(AtA)
-    p = vecs[..., :, 0].reshape(Hh, 3, 4)
+    # Batched Jacobi null-space extraction (see geometry/linalg.py — much
+    # faster than XLA's batched eigh for many 12x12 systems on TPU).
+    p = smallest_eigvec(AtA).reshape(Hh, 3, 4)
+    # Undo the world normalization: P [X;1] = P' [s(X-mean);1]
+    #   => M = s M',  t = t' - s M' mean.
+    Mp = p[..., :3]
+    tp = p[..., 3]
+    M = Mp * s[..., None]
+    t = tp - (Mp @ (mean[..., 0, :, None] * s[..., None]))[..., 0]
+    p = jnp.concatenate([M, t[..., None]], -1)
     M = p[..., :3]
     # Fix scale/sign: det(M) > 0 and unit-average row norm.
     detM = jnp.linalg.det(M)
@@ -57,7 +78,7 @@ def _dlt_projection(X: jax.Array, xn: jax.Array):
     safe = jnp.maximum(scale, 1e-12)
     M = M * (sign / safe)[..., None, None]
     t = p[..., 3] * (sign / safe)[..., None]
-    R = project_to_so3(M)
+    R = polar_so3(M)
     return R, t
 
 
@@ -139,51 +160,78 @@ def solve_pnp_ransac(
     num_hypotheses: int = 512,
     min_inliers: int = 5,
     refine_iters: int = 8,
-    set_size: int = 8,
     polish_rounds: int = 3,
 ) -> PnPResult:
-    """solvePnPRansac equivalent: hypothesize-DLT, score, LO-polish.
+    """solvePnPRansac equivalent: batched P3P hypotheses, score, LO-polish.
 
     `reprojection_error` is the pixel inlier gate (stereo config
     `reprojection_error: 1.0`, stereo_VO_parameters.yaml:29).
 
-    Hypotheses use `set_size`-point least-squares DLT (8 > the 6-point minimum:
-    an exact-fit minimal solve amplifies keypoint/3D noise so much that even
-    the best hypothesis captures few inliers).  The winner then goes through
-    `polish_rounds` of LO-RANSAC-style (Chum et al.) local optimization —
-    Gauss-Newton on the current inlier set, re-gate inliers, keep if the
-    consensus grew — which is what makes the small-motion stereo regime (large
-    depth / tiny baseline per frame) converge to the true basin.
+    Hypotheses come from the closed-form P3P solver (estimation/p3p.py) — the
+    projection-matrix DLT is degenerate for the near-coplanar seafloor clouds
+    this pipeline triangulates, so minimal 3-point sets are solved exactly and
+    every (root, plane, branch) candidate is scored; RANSAC consensus
+    disambiguates.  The winner then goes through `polish_rounds` of
+    LO-RANSAC-style (Chum et al.) local optimization — Gauss-Newton on the
+    current inlier set, re-gate inliers, keep if the consensus grew — playing
+    the role of OpenCV's final iterative refinement.
     """
     xn = jnp.stack(
         [(xy[..., 0] - K[0, 2]) / K[0, 0], (xy[..., 1] - K[1, 2]) / K[1, 1]], -1
     )
-    idx, sets_valid = sample_minimal_sets(key, mask, num_hypotheses, set_size)
-    Rs, ts = _dlt_projection(X[idx], xn[idx])
+    idx, sets_valid = sample_minimal_sets(key, mask, num_hypotheses, 3)
+    bearings = jnp.concatenate([xn, jnp.ones_like(xn[..., :1])], -1)
+    bearings = bearings / jnp.linalg.norm(bearings, axis=-1, keepdims=True)
+    Rs, ts, cand_valid = p3p(X[idx], bearings[idx])  # (H, 12, ...)
+    Rs = Rs.reshape(-1, 3, 3)
+    ts = ts.reshape(-1, 3)
+    cand_valid = (cand_valid & sets_valid[:, None]).reshape(-1)
     finite = jnp.all(jnp.isfinite(Rs.reshape(Rs.shape[0], -1)), -1) & jnp.all(
         jnp.isfinite(ts), -1
     )
-    r2 = _reproj_error_sq(Rs, ts, K, X, xy)  # (H, N)
+    r2 = _reproj_error_sq(Rs, ts, K, X, xy)  # (H*12, N)
     best, inliers = score_hypotheses(
-        r2, mask, sets_valid & finite, RANSAC, reprojection_error,
-        model_points=set_size,
+        r2, mask, cand_valid & finite, RANSAC, reprojection_error,
+        model_points=3,
     )
 
     thr2 = reprojection_error * reprojection_error
 
-    def polish(carry, _):
-        R, t, inl = carry
-        R2, t2 = gauss_newton_pnp(R, t, K, X, xy, inl.astype(X.dtype), refine_iters)
-        r2n = _reproj_error_sq(R2, t2, K, X, xy)
-        inl2 = mask & (r2n <= thr2)
-        grew = jnp.sum(inl2) >= jnp.sum(inl)
-        R = jnp.where(grew, R2, R)
-        t = jnp.where(grew, t2, t)
-        inl = jnp.where(grew, inl2, inl)
-        return (R, t, inl), None
+    # Cauchy-IRLS refinement over ALL masked correspondences (not just the
+    # hard-gated inlier set — a hard gate at ~noise level discards half the
+    # good measurements and biases the fit; a smooth robust loss is both more
+    # accurate and TPU-friendlier).  Masked slots may hold garbage
+    # coordinates, which would poison the normal equations through 0 * inf:
+    # sanitize them first.
+    X_safe = jnp.where(mask[:, None], X, jnp.asarray([0.0, 0.0, 1.0], X.dtype))
+    xy_safe = jnp.where(mask[:, None], xy, 0.0)
+    delta = 0.7 * reprojection_error
+    support = 20.0 * reprojection_error
 
-    (R_out, t_out, inl_out), _ = jax.lax.scan(
-        polish, (Rs[best], ts[best], inliers), None, length=polish_rounds
+    def irls_round(carry, _):
+        R, t = carry
+        r2 = _reproj_error_sq(R, t, K, X_safe, xy_safe)
+        r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+        w = 1.0 / (1.0 + (r / delta) ** 2)
+        w = jnp.where(mask & jnp.isfinite(r2) & (r < support), w, 0.0)
+        R, t = gauss_newton_pnp(R, t, K, X_safe, xy_safe, w, refine_iters // 2)
+        return (R, t), None
+
+    (R_ref, t_ref), _ = jax.lax.scan(
+        irls_round, (Rs[best], ts[best]), None, length=2 * polish_rounds + 2
     )
+    # Accept the refinement unless it diverged.  NOTE: do NOT require the
+    # refined consensus to beat the RANSAC winner's count — the winner is the
+    # argmax of threshold-counting and overfits the gate, so the (more
+    # accurate) robust-loss minimizer often counts a few fewer 1px-inliers.
+    r2_ref = _reproj_error_sq(R_ref, t_ref, K, X_safe, xy_safe)
+    inl_ref = mask & (r2_ref <= thr2)
+    better = (
+        jnp.all(jnp.isfinite(R_ref)) & jnp.all(jnp.isfinite(t_ref))
+        & (2 * jnp.sum(inl_ref) >= jnp.sum(inliers))
+    )
+    R_out = jnp.where(better, R_ref, Rs[best])
+    t_out = jnp.where(better, t_ref, ts[best])
+    inl_out = jnp.where(better, inl_ref, inliers)
     success = jnp.sum(inl_out.astype(jnp.int32)) >= min_inliers
     return PnPResult(R=R_out, t=t_out, inliers=inl_out, success=success)

@@ -7,18 +7,22 @@ all_gather in distributed BA) run in CI on one machine via
 
 import os
 
-# Force-set (not setdefault): the environment pins JAX_PLATFORMS=axon via
-# sitecustomize, which runs before pytest; overriding here (pre-jax-import)
-# wins.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# The environment's sitecustomize imports jax at interpreter startup and pins
+# JAX_PLATFORMS to the hardware backend, so mutating os.environ here is too
+# late for jax's config — but XLA_FLAGS is still read lazily at backend init,
+# and jax.config.update can override the platform post-import as long as no
+# backend has been initialized yet.
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
