@@ -43,6 +43,14 @@ class PreprocessingConfig:
 
 
 @dataclass(frozen=True)
+class VisualizationConfig:
+    """visualization.* (mono_VO_parameters.yaml:38-40): host-side debug dumps."""
+
+    fps: float = 25.0
+    show_match: bool = False
+
+
+@dataclass(frozen=True)
 class SurfConfig:
     """surf_params.* (mono_VO_parameters.yaml:43-49)."""
 
@@ -70,6 +78,7 @@ class MonoVOConfig:
     node_freq: float = 20.0
     preprocessing: PreprocessingConfig = PreprocessingConfig()
     surf: SurfConfig = SurfConfig()
+    visualization: VisualizationConfig = VisualizationConfig()
 
     distance: float = 10.0  # parallax px threshold (select_estimation_method)
     feature_detector: str = "SURF"
@@ -99,6 +108,7 @@ class StereoVOConfig:
     node_freq: float = 20.0
     preprocessing: PreprocessingConfig = PreprocessingConfig(640, True, 8.0)
     surf: SurfConfig = SurfConfig(min_hessian=1500.0)
+    visualization: VisualizationConfig = VisualizationConfig()
 
     feature_detector: str = "SURF"
     lowe_ratio_test: float = 0.8
@@ -180,6 +190,11 @@ def load_vo_params(path: str, stereo: bool = False):
     pre = raw.get("preprocessing", {})
     surf = raw.get("surf_params", {})
     vo = raw.get("vo_params", {})
+    viz = raw.get("visualization", {})
+    viz_cfg = VisualizationConfig(
+        fps=float(_get(viz, "fps", 25.0)),
+        show_match=bool(_get(viz, "show_match", False)),
+    )
     preprocessing = PreprocessingConfig(
         desired_width=int(_get(pre, "desired_width", 640)),
         clahe=bool(_get(pre, "clahe", True)),
@@ -197,6 +212,7 @@ def load_vo_params(path: str, stereo: bool = False):
             node_freq=float(_get(raw, "node_freq", 20)),
             preprocessing=preprocessing,
             surf=surf_cfg,
+            visualization=viz_cfg,
             feature_detector=str(_get(vo, "feature_detector", "SURF")),
             lowe_ratio_test=float(_get(vo, "lowe_ratio_test", 0.8)),
             min_num_features=int(float(_get(vo, "min_num_features", 5))),
@@ -213,6 +229,7 @@ def load_vo_params(path: str, stereo: bool = False):
         node_freq=float(_get(raw, "node_freq", 20)),
         preprocessing=preprocessing,
         surf=surf_cfg,
+        visualization=viz_cfg,
         distance=float(_get(vo, "distance", 10.0)),
         feature_detector=str(_get(vo, "feature_detector", "SURF")),
         lowe_ratio_test=float(_get(vo, "lowe_ratio_test", 0.7)),

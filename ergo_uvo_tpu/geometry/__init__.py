@@ -20,7 +20,14 @@ from ergo_uvo_tpu.geometry.rotations import (  # noqa: F401
     project_to_so3,
     so3_exp,
     so3_log,
+    rpy_rate_jacobian,
     wrap2pi,
+)
+from ergo_uvo_tpu.geometry.geodesy import (  # noqa: F401
+    ll_to_ne,
+    ne_to_ll,
+    lld_to_ned,
+    ned_to_lld,
 )
 from ergo_uvo_tpu.geometry.se3 import (  # noqa: F401
     SE3,

@@ -247,6 +247,27 @@ def so3_log(R: jax.Array) -> jax.Array:
     return jnp.where(near_pi[..., None], w_near_pi, w_generic)
 
 
+def rpy_rate_jacobian(rpy: jax.Array) -> jax.Array:
+    """Jacobian mapping body angular velocity -> Euler (roll, pitch, yaw) rates.
+
+    Mirrors the reference's ``compute_jacobian`` (math_utility.cpp:25-28):
+    [[1, sin(r)tan(p), cos(r)tan(p)], [0, cos(r), -sin(r)],
+    [0, sin(r)/cos(p), cos(r)/cos(p)]].  Singular at pitch = +-pi/2
+    (gimbal lock), same as the reference.
+    """
+    r, p = rpy[..., 0], rpy[..., 1]
+    sr, cr = jnp.sin(r), jnp.cos(r)
+    tp, cp = jnp.tan(p), jnp.cos(p)
+    zero = jnp.zeros_like(r)
+    one = jnp.ones_like(r)
+    rows = [
+        jnp.stack([one, sr * tp, cr * tp], -1),
+        jnp.stack([zero, cr, -sr], -1),
+        jnp.stack([zero, sr / cp, cr / cp], -1),
+    ]
+    return jnp.stack(rows, -2)
+
+
 def wrap2pi(angle: jax.Array) -> jax.Array:
     """Wrap angle into [-pi, pi], keeping both endpoints as fixed points.
 

@@ -10,3 +10,8 @@ from ergo_uvo_tpu.utils.profiling import (  # noqa: F401
     trace,
 )
 from ergo_uvo_tpu.utils.records import RunRecorder  # noqa: F401
+from ergo_uvo_tpu.utils.visualize import (  # noqa: F401
+    draw_matches,
+    dump_matches,
+    save_image,
+)
