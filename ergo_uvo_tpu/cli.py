@@ -26,12 +26,12 @@ import sys
 import numpy as np
 
 
-def _load_frames(args, gray=True):
-    paths = sorted(glob.glob(os.path.join(args.frames, "*.jpg"))) + sorted(
-        glob.glob(os.path.join(args.frames, "*.jpeg"))
+def _load_frames_dir(directory, gray=True):
+    paths = sorted(glob.glob(os.path.join(directory, "*.jpg"))) + sorted(
+        glob.glob(os.path.join(directory, "*.jpeg"))
     )
     if not paths:
-        raise SystemExit(f"no JPEG frames under {args.frames}")
+        raise SystemExit(f"no JPEG frames under {directory}")
     from ergo_uvo_tpu.io import native
 
     frames = {}
@@ -48,6 +48,10 @@ def _load_frames(args, gray=True):
             frames[i] = np.asarray(img.convert("L" if gray else "RGB"))
     imgs = np.stack([frames[i] for i in range(len(paths))]).astype(np.float32)
     return imgs
+
+
+def _load_frames(args, gray=True):
+    return _load_frames_dir(args.frames, gray)
 
 
 def _run_mono(args):
@@ -101,7 +105,6 @@ def _run_mono(args):
     rec.close()
 
     pos = integrate_mono_trajectory(outs.velocity, outs.R, tss, outs.published)
-    np.savetxt(os.path.splitext(args.out)[0] + "_trajectory.txt", pos)
     summary = {
         "frames": int(len(imgs)),
         "published": int(outs.published.sum()),
@@ -110,6 +113,36 @@ def _run_mono(args):
         if outs.published.any()
         else 0.0,
     }
+
+    # ---- optional window-BA refinement (BASELINE configs[2]).
+    if args.ba_window:
+        from ergo_uvo_tpu.optim import refine_mono_trajectory
+
+        res = refine_mono_trajectory(
+            np.asarray(imgs), tss, outs, K, cfg,
+            window_size=args.ba_window, keyframe_stride=args.keyframe_stride,
+            ba_iters=args.ba_iters,
+        )
+        pos = res.positions
+        summary["ba_keyframes"] = int(len(res.kf_indices))
+        summary["ba_solves"] = int(res.costs.shape[0])
+        summary["ba_iters_per_s"] = round(res.ba_iters_per_s, 2)
+
+    # ---- optional loop closure + pose graph (BASELINE configs[3]).
+    if args.loop_closure:
+        from ergo_uvo_tpu.optim import close_loops_and_optimize, integrate_mono_poses
+
+        R_wc, t_wc, _ = integrate_mono_poses(
+            outs.velocity, outs.R, tss, outs.published
+        )
+        pg = close_loops_and_optimize(
+            np.asarray(imgs), R_wc, t_wc, np.asarray(rgs), K, cfg,
+            key=jax.random.PRNGKey(args.seed + 1),
+        )
+        pos = pg.positions
+        summary["loops_accepted"] = len(pg.loops)
+
+    np.savetxt(os.path.splitext(args.out)[0] + "_trajectory.txt", pos)
     if gt_positions is not None:
         from ergo_uvo_tpu.eval import ate_rmse
 
@@ -122,6 +155,8 @@ def _run_stereo(args):
     import jax.numpy as jnp
 
     from ergo_uvo_tpu.config import StereoVOConfig, load_stereo_intrinsics, load_vo_params
+    from ergo_uvo_tpu.eval import integrate_mono_trajectory
+    from ergo_uvo_tpu.image import build_preprocess_plan, preprocess_frame
     from ergo_uvo_tpu.io import make_stereo_sequence
     from ergo_uvo_tpu.pipeline import run_stereo_vo
     from ergo_uvo_tpu.pipeline.stereo import StereoRig
@@ -132,29 +167,77 @@ def _run_stereo(args):
         if args.params
         else StereoVOConfig()
     )
-    if not args.synthetic:
-        raise SystemExit("stereo file ingestion: provide --synthetic N for now "
-                         "(left/right frame-directory ingestion lands with the "
-                         "rig rectification tooling)")
-    seq = make_stereo_sequence(n_frames=args.synthetic, height=480, width=640)
-    rig = StereoRig(
-        K_left=jnp.asarray(seq.K), K_right=jnp.asarray(seq.K),
-        R_right=jnp.eye(3), t_right=jnp.asarray([-0.33, 0.0, 0.0]),
-    )
+    gt_positions = None
+    if args.synthetic:
+        seq = make_stereo_sequence(n_frames=args.synthetic, height=480, width=640)
+        imgs_l, imgs_r, tss = seq.imgs_left, seq.imgs_right, seq.timestamps
+        gt_positions = seq.positions
+        rig = StereoRig(
+            K_left=jnp.asarray(seq.K), K_right=jnp.asarray(seq.K),
+            R_right=jnp.eye(3), t_right=jnp.asarray([-0.33, 0.0, 0.0]),
+        )
+    else:
+        # Real-data path: synced left/right JPEG directories + the reference's
+        # stereo intrinsics YAML (visual_odometry.h:766-776,
+        # get_stereo_camera_parameters VO_utility.cpp:408-453).
+        if not (args.frames_left and args.frames_right and args.intrinsics
+                and args.camera):
+            raise SystemExit("--frames-left, --frames-right, --intrinsics and "
+                             "--camera required (or use --synthetic N)")
+        intr = load_stereo_intrinsics(args.intrinsics, args.camera)
+        raw_l = _load_frames_dir(args.frames_left)
+        raw_r = _load_frames_dir(args.frames_right)
+        if len(raw_l) != len(raw_r):
+            n = min(len(raw_l), len(raw_r))
+            raw_l, raw_r = raw_l[:n], raw_r[:n]
+        h, w = raw_l.shape[1:3]
+        plan_l = build_preprocess_plan(
+            intr.left.K(), intr.left.dist_coeffs(), w, h,
+            cfg.preprocessing.desired_width,
+            cfg.preprocessing.clahe, cfg.preprocessing.clip_limit,
+        )
+        plan_r = build_preprocess_plan(
+            intr.right.K(), intr.right.dist_coeffs(), w, h,
+            cfg.preprocessing.desired_width,
+            cfg.preprocessing.clahe, cfg.preprocessing.clip_limit,
+        )
+        pre_l = jax.jit(jax.vmap(lambda im: preprocess_frame(plan_l, im)))
+        pre_r = jax.jit(jax.vmap(lambda im: preprocess_frame(plan_r, im)))
+        imgs_l = np.asarray(pre_l(jnp.asarray(raw_l)))
+        imgs_r = np.asarray(pre_r(jnp.asarray(raw_r)))
+        tss = np.arange(len(imgs_l), dtype=np.float32) / cfg.node_freq
+        rig = StereoRig(
+            K_left=jnp.asarray(plan_l.new_K),
+            K_right=jnp.asarray(plan_r.new_K),
+            R_right=jnp.asarray(np.asarray(intr.R_right, np.float32)),
+            t_right=jnp.asarray(np.asarray(intr.t_right, np.float32).reshape(3)),
+        )
+
+    n_frames = len(imgs_l)
     state, outs = run_stereo_vo(
-        jnp.asarray(seq.imgs_left), jnp.asarray(seq.imgs_right),
-        jnp.asarray(seq.timestamps), rig, cfg, jax.random.PRNGKey(args.seed),
+        jnp.asarray(imgs_l), jnp.asarray(imgs_r),
+        jnp.asarray(tss), rig, cfg, jax.random.PRNGKey(args.seed),
     )
     outs = jax.tree.map(np.asarray, outs)
     rec = RunRecorder(args.out)
-    for i in range(args.synthetic):
+    for i in range(n_frames):
         rec.record_frame(i, jax.tree.map(lambda v, i=i: v[i], outs))
     rec.close()
-    print(json.dumps({
-        "frames": int(args.synthetic),
+    # Stereo publishes velocity = t_prevCam_currCam / dt and R_currCam_prevCam
+    # — the same prev-cam-frame displacement convention as mono, so the same
+    # integrator applies (stereo_output_computation, visual_odometry.h:148-159).
+    pos = integrate_mono_trajectory(outs.velocity, outs.R, tss, outs.published)
+    np.savetxt(os.path.splitext(args.out)[0] + "_trajectory.txt", pos)
+    summary = {
+        "frames": int(n_frames),
         "published": int(outs.published.sum()),
         "valid": int(outs.validity.sum()),
-    }))
+    }
+    if gt_positions is not None:
+        from ergo_uvo_tpu.eval import ate_rmse
+
+        summary["ate_m"] = ate_rmse(pos, gt_positions - gt_positions[0])
+    print(json.dumps(summary))
 
 
 def main(argv=None):
@@ -165,12 +248,21 @@ def main(argv=None):
         sp.add_argument("--params", help="reference-format *_VO_parameters.yaml")
         sp.add_argument("--intrinsics", help="reference-format intrinsics yaml")
         sp.add_argument("--camera", help="camera block name (e.g. downward_camera)")
-        sp.add_argument("--frames", help="directory of JPEG frames")
+        sp.add_argument("--frames", help="directory of JPEG frames (mono)")
+        sp.add_argument("--frames-left", help="directory of left JPEG frames (stereo)")
+        sp.add_argument("--frames-right", help="directory of right JPEG frames (stereo)")
         sp.add_argument("--ranges", help="text file of per-frame range readings")
         sp.add_argument("--synthetic", type=int, default=0,
                         help="run on an N-frame synthetic sequence instead")
         sp.add_argument("--out", default="run.jsonl")
         sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--ba-window", type=int, default=0,
+                        help="refine with sliding-window BA of this many "
+                             "keyframes (0 = off)")
+        sp.add_argument("--keyframe-stride", type=int, default=3)
+        sp.add_argument("--ba-iters", type=int, default=12)
+        sp.add_argument("--loop-closure", action="store_true",
+                        help="run retrieval + pose-graph loop closure")
     args = p.parse_args(argv)
     if args.mode == "mono":
         _run_mono(args)

@@ -18,9 +18,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ergo_uvo_tpu.estimation.robust import score_hypotheses
+from ergo_uvo_tpu.estimation.robust import inlier_mask_for_model, score_hypotheses
 from ergo_uvo_tpu.estimation.sampling import sample_minimal_sets
 from ergo_uvo_tpu.geometry.linalg import smallest_eigvec
+from ergo_uvo_tpu.geometry.rotations import skew, so3_exp
 from ergo_uvo_tpu.geometry.triangulation import triangulate_points
 
 # OpenCV recoverPose's hard-coded cheirality distance gate (five-point.cpp):
@@ -138,6 +139,83 @@ def recover_pose_from_essential(
     return Rs[best], ts[best], masks[best]
 
 
+def refit_essential(x1: jax.Array, x2: jax.Array, w: jax.Array) -> jax.Array:
+    """Weighted 8-point refit over an inlier set (OpenCV's post-RANSAC polish).
+
+    x1/x2: (N, 2) normalized coords; w: (N,) weights (inlier mask).  Returns
+    a manifold-projected (3, 3) essential matrix.
+    """
+    ones = jnp.ones_like(x1[..., :1])
+    X1 = jnp.concatenate([x1, ones], -1)
+    X2 = jnp.concatenate([x2, ones], -1)
+    a = jnp.einsum("ni,nj->nij", X2, X1).reshape(x1.shape[0], 9)
+    AtA = jnp.einsum("n,ni,nj->ij", w.astype(x1.dtype), a, a)
+    e = smallest_eigvec(AtA)
+    return project_to_essential(e.reshape(3, 3))
+
+
+def gn_refine_essential(
+    E0: jax.Array, x1: jax.Array, x2: jax.Array, w: jax.Array, iters: int = 6
+) -> jax.Array:
+    """Gauss-Newton Sampson-error minimization ON the essential manifold.
+
+    The linear 8-point fit is statistically inefficient — even on a clean
+    inlier set its translation direction lands ~5-10x off the noise floor
+    (OpenCV's 5-point LMEDS reaches ~0.5 deg on the same data).  Minimizing
+    the signed Sampson distance over the 5-dof (R, t_hat) parametrization
+    E = [t_hat]_x R closes that gap.  `w`: per-point weights (inlier mask).
+    """
+    R0, t0, _ = recover_pose_from_essential(E0, x1, x2, w > 0)
+    ones = jnp.ones_like(x1[..., :1])
+    X1 = jnp.concatenate([x1, ones], -1)
+    X2 = jnp.concatenate([x2, ones], -1)
+
+    def params_to_E(p, R, t):
+        Rn = so3_exp(p[:3]) @ R
+        # 2-dof update of the unit translation in its tangent plane.
+        pole = jnp.where(
+            jnp.abs(t[2]) < 0.9,
+            jnp.asarray([0.0, 0.0, 1.0], t.dtype),
+            jnp.asarray([1.0, 0.0, 0.0], t.dtype),
+        )
+        a = jnp.cross(t, pole)
+        a = a / jnp.maximum(jnp.linalg.norm(a), 1e-12)
+        b = jnp.cross(t, a)
+        tn = t + p[3] * a + p[4] * b
+        tn = tn / jnp.maximum(jnp.linalg.norm(tn), 1e-12)
+        return skew(tn) @ Rn, Rn, tn
+
+    def step(carry, _):
+        R, t = carry
+
+        def resid(p):
+            E, _, _ = params_to_E(p, R, t)
+            Ex1 = X1 @ E.T
+            Etx2 = X2 @ E
+            num = jnp.sum(X2 * Ex1, -1)
+            den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+            return num / jnp.sqrt(jnp.maximum(den, 1e-12))
+
+        p0 = jnp.zeros(5, x1.dtype)
+        r = resid(p0)
+        # Cauchy IRLS on top of the inlier mask: the LMEDS/RANSAC gate leaks
+        # a few false positives whose large residuals would bias pure GN.
+        from ergo_uvo_tpu.geometry.stats import masked_median
+
+        delta = 1.4826 * masked_median(jnp.abs(r), w > 0) + 1e-12
+        wr = w / (1.0 + (r / delta) ** 2)
+        J = jax.jacfwd(resid)(p0)  # (N, 5)
+        H = J.T @ (wr[:, None] * J) + 1e-9 * jnp.eye(5, dtype=x1.dtype)
+        dp = -jnp.linalg.solve(H, J.T @ (wr * r))
+        _, Rn, tn = params_to_E(dp, R, t)
+        return (Rn, tn), None
+
+    (R, t), _ = jax.lax.scan(step, (R0, t0), None, length=iters)
+    E = skew(t) @ R
+    # Guard: fall back to the linear estimate if GN diverged.
+    return jnp.where(jnp.all(jnp.isfinite(E)), E, E0)
+
+
 def find_essential(
     key: jax.Array,
     xy1: jax.Array,
@@ -163,6 +241,32 @@ def find_essential(
     best, inliers = score_hypotheses(
         r2, mask, sets_valid, method, thresh_norm, model_points=8
     )
-    # Only the winner is projected onto the essential manifold (recoverPose's
-    # SVD assumes the (s, s, 0) spectrum).
-    return project_to_essential(Es[best]), inliers
+    E_best = project_to_essential(Es[best])
+
+    # ---- final polish (OpenCV's robust estimators end with an inlier refit).
+    # LMEDS: exactly ONE refit, keeping the winner's inlier mask — iterating
+    # would re-derive sigma from the refit model and inflate the inlier set.
+    # RANSAC: LO-style iterated refit against the FIXED pixel threshold.
+    from ergo_uvo_tpu.config import LMEDS
+
+    E_out, inl_out = E_best, inliers
+    rounds = 1 if method == LMEDS else 3
+    for _ in range(rounds):
+        E_refit = refit_essential(x1, x2, inl_out.astype(x1.dtype))
+        finite = jnp.all(jnp.isfinite(E_refit))
+        if method == LMEDS:
+            E_out = jnp.where(finite, E_refit, E_out)
+        else:
+            r2_ref = sampson_error_sq(E_refit, x1, x2)
+            inl_ref = inlier_mask_for_model(r2_ref, mask, method, thresh_norm, 8)
+            # Accept unconditionally unless the refit collapsed: the RANSAC
+            # winner maximizes threshold-counting and overfits the gate, so
+            # the (more accurate) LS refit often counts a few FEWER inliers.
+            n_ref = jnp.sum(inl_ref.astype(jnp.int32))
+            n_old = jnp.sum(inl_out.astype(jnp.int32))
+            ok = finite & (n_ref >= jnp.maximum(8, n_old // 2))
+            E_out = jnp.where(ok, E_refit, E_out)
+            inl_out = jnp.where(ok, inl_ref, inl_out)
+    # ---- nonlinear polish on the manifold (see gn_refine_essential).
+    E_out = gn_refine_essential(E_out, x1, x2, inl_out.astype(x1.dtype))
+    return E_out, inl_out

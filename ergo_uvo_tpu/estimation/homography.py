@@ -22,8 +22,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ergo_uvo_tpu.estimation.robust import score_hypotheses
+from ergo_uvo_tpu.estimation.robust import inlier_mask_for_model, score_hypotheses
 from ergo_uvo_tpu.estimation.sampling import sample_minimal_sets
+from ergo_uvo_tpu.geometry.linalg import smallest_eigvec
 from ergo_uvo_tpu.geometry.triangulation import triangulate_points
 
 
@@ -141,6 +142,59 @@ def recover_pose_homography(
     return R, t, max_good
 
 
+def _hartley_T(p: jax.Array, w: jax.Array) -> jax.Array:
+    """Similarity normalizing masked points to mean 0 / mean radius sqrt(2)."""
+    wf = w.astype(p.dtype)
+    wsum = jnp.maximum(jnp.sum(wf), 1.0)
+    mean = jnp.sum(p * wf[:, None], 0) / wsum
+    d = jnp.sqrt(jnp.sum((p - mean) ** 2, -1))
+    s = jnp.sqrt(2.0) / jnp.maximum(jnp.sum(d * wf) / wsum, 1e-6)
+    zero = jnp.zeros((), p.dtype)
+    one = jnp.ones((), p.dtype)
+    return jnp.stack(
+        [
+            jnp.stack([s, zero, -s * mean[0]]),
+            jnp.stack([zero, s, -s * mean[1]]),
+            jnp.stack([zero, zero, one]),
+        ]
+    )
+
+
+def refit_homography(p1: jax.Array, p2: jax.Array, w: jax.Array) -> jax.Array:
+    """Weighted normalized-DLT refit over an inlier set (pixel coords)."""
+    T1 = _hartley_T(p1, w)
+    T2 = _hartley_T(p2, w)
+
+    def apply(T, p):
+        return p * T[0, 0] + T[:2, 2]
+
+    q1 = apply(T1, p1)
+    q2 = apply(T2, p2)
+    x, y = q1[:, 0], q1[:, 1]
+    xp, yp = q2[:, 0], q2[:, 1]
+    z = jnp.zeros_like(x)
+    o = jnp.ones_like(x)
+    rows_x = jnp.stack([x, y, o, z, z, z, -xp * x, -xp * y, -xp], -1)
+    rows_y = jnp.stack([z, z, z, x, y, o, -yp * x, -yp * y, -yp], -1)
+    A = jnp.concatenate([rows_x, rows_y], 0)  # (2N, 9)
+    ww = jnp.concatenate([w, w], 0).astype(p1.dtype)
+    AtA = jnp.einsum("n,ni,nj->ij", ww, A, A)
+    h = smallest_eigvec(AtA).reshape(3, 3)
+    # Denormalize: H = T2^-1 Hn T1, with T2^-1 built in closed form.
+    s2 = T2[0, 0]
+    zero = jnp.zeros((), p1.dtype)
+    one = jnp.ones((), p1.dtype)
+    T2_inv = jnp.stack(
+        [
+            jnp.stack([1.0 / s2, zero, -T2[0, 2] / s2]),
+            jnp.stack([zero, 1.0 / s2, -T2[1, 2] / s2]),
+            jnp.stack([zero, zero, one]),
+        ]
+    )
+    H = T2_inv @ h @ T1
+    return H / jnp.where(jnp.abs(H[2, 2]) < 1e-12, 1e-12, H[2, 2])
+
+
 def find_homography(
     key: jax.Array,
     xy1: jax.Array,
@@ -158,4 +212,25 @@ def find_homography(
     best, inliers = score_hypotheses(
         r2, mask, sets_valid & finite, method, threshold, model_points=4
     )
-    return Hs[best], inliers
+
+    # ---- final polish: normalized-DLT refit (see essential.py for the
+    # LMEDS-single-refit vs RANSAC-iterated distinction).
+    from ergo_uvo_tpu.config import LMEDS
+
+    H_out, inl_out = Hs[best], inliers
+    rounds = 1 if method == LMEDS else 3
+    for _ in range(rounds):
+        H_refit = refit_homography(xy1, xy2, inl_out.astype(xy1.dtype))
+        finite = jnp.all(jnp.isfinite(H_refit))
+        if method == LMEDS:
+            H_out = jnp.where(finite, H_refit, H_out)
+        else:
+            r2_ref = homography_transfer_error_sq(H_refit, xy1, xy2)
+            inl_ref = inlier_mask_for_model(r2_ref, mask, method, threshold, 4)
+            # Collapse guard only — see essential.py on why count can drop.
+            n_ref = jnp.sum(inl_ref.astype(jnp.int32))
+            n_old = jnp.sum(inl_out.astype(jnp.int32))
+            ok = finite & (n_ref >= jnp.maximum(4, n_old // 2))
+            H_out = jnp.where(ok, H_refit, H_out)
+            inl_out = jnp.where(ok, inl_ref, inl_out)
+    return H_out, inl_out

@@ -40,6 +40,23 @@ def lmeds_inlier_mask(
     return mask & (residual_sq <= sigma * sigma)
 
 
+def inlier_mask_for_model(
+    residual_sq: jax.Array,  # (N,) squared residuals of ONE model
+    mask: jax.Array,
+    method: int,
+    threshold: float,
+    model_points: int,
+) -> jax.Array:
+    """Method-consistent inlier mask for a single (e.g. refit) model."""
+    finite = jnp.isfinite(residual_sq)
+    if method == RANSAC:
+        return mask & finite & (residual_sq <= threshold * threshold)
+    if method == LMEDS:
+        r2 = jnp.where(finite, residual_sq, 1e30)
+        return lmeds_inlier_mask(r2, mask, model_points)
+    raise NotImplementedError(f"outlier method {method}")
+
+
 def score_hypotheses(
     residual_sq: jax.Array,  # (H, N) squared residuals per hypothesis
     mask: jax.Array,  # (N,) valid-correspondence mask

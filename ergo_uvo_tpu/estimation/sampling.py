@@ -8,8 +8,30 @@ pass, giving distinct in-set indices restricted to valid (masked) matches.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
+
+
+def hypotheses_for_confidence(
+    confidence: float, outlier_frac: float, model_points: int
+) -> int:
+    """Minimal hypothesis count for >= `confidence` probability that at least
+    one sampled minimal set is outlier-free — OpenCV's RANSACUpdateNumIters
+    formula (the reference budgets 2000 LMEDS iterations at m=5,
+    mono_VO_parameters.yaml:19; our 8-point sets need re-derivation, not a
+    copied constant: P(all-inlier set) = (1-eps)^m).
+
+    The pipeline default of 512 hypotheses covers, at 0.99 confidence,
+    m=8 at eps<=0.42, m=4 at eps<=0.67, m=3 at eps<=0.78; size up via this
+    helper for harsher regimes.
+    """
+    eps = min(max(outlier_frac, 0.0), 0.95)
+    p_good = (1.0 - eps) ** model_points
+    if p_good >= 1.0:
+        return 1
+    return int(math.ceil(math.log(1.0 - confidence) / math.log(1.0 - p_good)))
 
 
 def sample_minimal_sets(

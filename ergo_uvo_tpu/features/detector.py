@@ -7,20 +7,17 @@ reference's ``detect_features`` (VO_utility.cpp:91-126; SURF params loaded at
 Algorithm (Bay et al., "Speeded-Up Robust Features", CVIU 2008 — the same
 one OpenCV implements):
   * box-filter approximations of the Hessian (Dxx, Dyy, Dxy) at filter sizes
-    (9 + 6*l) << o for layer l, octave o, evaluated over an integral image;
+    (9 + 6*l) << o for layer l, octave o, evaluated over an integral image
+    at sample stride 2^o per octave (OpenCV's sampleStep);
   * det(H) = Dxx*Dyy - (0.9*Dxy)^2, with each box normalized by its area so
     the configured `min_hessian` thresholds transfer;
   * 3x3x3 scale-space non-max suppression within each octave;
-  * top-K candidates (fixed budget) + batched quadratic sub-pixel/sub-scale
-    refinement.
+  * per-octave top-K candidates + batched quadratic sub-pixel/sub-scale
+    refinement, then a global top-K merge (fixed budget).
 
-Deviations from OpenCV (statistical parity per SURVEY.md §7.3): responses are
-computed at stride 1 for every octave (OpenCV samples at 2^o), so higher
-octaves are denser here; center alignment uses floor(s/2) offsets and the
-sub-pixel fit absorbs the sub-pixel bias.
-
-Everything is static-shaped: the dense phase is slice arithmetic (no gathers),
-selection is one `top_k`, refinement gathers exactly 27 values per keypoint.
+Everything is static-shaped: the dense phase is strided-slice arithmetic (no
+gathers); selection is `top_k` per octave + one merge `top_k`; refinement
+gathers exactly 27 values per candidate.
 """
 
 from __future__ import annotations
@@ -30,7 +27,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ergo_uvo_tpu.features.integral import box_sum, integral_image, pad_integral
+from ergo_uvo_tpu.features.integral import integral_image, pad_integral
 from ergo_uvo_tpu.geometry.triangulation import _solve33
 
 # SURF 9x9 base patterns: (x0, y0, x1, y1, weight), coords relative to the
@@ -76,10 +73,27 @@ def _scaled_pattern(pattern, size: int):
     return out
 
 
-def _haar_response(iip, margin, h, w, boxes):
+def _strided_box_sum(iip, margin, h, w, step, y0, x0, y1, x1):
+    """Box sum of img[y+y0 : y+y1, x+x0 : x+x1] for pixels (y, x) on the
+    stride-`step` grid.  Returns (ceil(h/step), ceil(w/step)).
+
+    Four strided slices of the padded integral image — pure VPU adds."""
+
+    def corner(dy, dx):
+        return jax.lax.slice(
+            iip,
+            [margin + dy, margin + dx],
+            [margin + dy + h, margin + dx + w],
+            [step, step],
+        )
+
+    return corner(y1, x1) - corner(y0, x1) - corner(y1, x0) + corner(y0, x0)
+
+
+def _haar_response(iip, margin, h, w, step, boxes):
     acc = None
     for y0, x0, y1, x1, wgt in boxes:
-        s = box_sum(iip, margin, h, w, y0, x0, y1, x1) * wgt
+        s = _strided_box_sum(iip, margin, h, w, step, y0, x0, y1, x1) * wgt
         acc = s if acc is None else acc + s
     return acc
 
@@ -92,100 +106,83 @@ def filter_sizes(n_octaves: int, n_layers: int):
     ]
 
 
-def hessian_pyramid(img: jax.Array, n_octaves: int = 4, n_layers: int = 3):
-    """Dense det/trace stacks: (n_octaves, n_layers+2, H, W) each.
+def hessian_octave(iip, margin: int, h: int, w: int, octave: int, sizes_o):
+    """Dense det/trace stacks for one octave at stride 2^octave.
 
-    Also returns the per-layer validity margin table (filter fits in image).
-    """
-    h, w = img.shape
-    sizes = filter_sizes(n_octaves, n_layers)
-    max_size = sizes[-1][-1]
-    # Pattern corner offsets are in [-size//2, size - size//2]; +2 slack.
-    margin = max_size // 2 + 2
-    ii = integral_image(img)
-    iip = pad_integral(ii, margin)
-
+    Returns (det, trace), each (n_layers+2, ceil(h/2^o), ceil(w/2^o))."""
+    step = 1 << octave
     dets, traces = [], []
-    for octave in range(n_octaves):
-        d_o, t_o = [], []
-        for layer in range(n_layers + 2):
-            s = sizes[octave][layer]
-            dx = _haar_response(iip, margin, h, w, _scaled_pattern(_DXX, s))
-            dy = _haar_response(iip, margin, h, w, _scaled_pattern(_DYY, s))
-            dxy = _haar_response(iip, margin, h, w, _scaled_pattern(_DXY, s))
-            det = dx * dy - 0.81 * dxy * dxy
-            trace = dx + dy
-            d_o.append(det)
-            t_o.append(trace)
-        dets.append(jnp.stack(d_o))
-        traces.append(jnp.stack(t_o))
-    return jnp.stack(dets), jnp.stack(traces), sizes
+    for s in sizes_o:
+        dx = _haar_response(iip, margin, h, w, step, _scaled_pattern(_DXX, s))
+        dy = _haar_response(iip, margin, h, w, step, _scaled_pattern(_DYY, s))
+        dxy = _haar_response(iip, margin, h, w, step, _scaled_pattern(_DXY, s))
+        dets.append(dx * dy - 0.81 * dxy * dxy)
+        traces.append(dx + dy)
+    return jnp.stack(dets), jnp.stack(traces)
 
 
-def _layer_valid_mask(h, w, size):
-    """Centers where the `size` filter fits entirely inside the image."""
-    m = size // 2 + 1
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    return (ys >= m) & (ys < h - m) & (xs >= m) & (xs < w - m)
+def _octave_candidates(
+    dets, traces, octave: int, sizes_o, h: int, w: int,
+    max_keypoints: int, min_hessian: float,
+):
+    """Top-K refined candidates for one octave.
 
-
-def detect_surf(
-    img: jax.Array,
-    max_keypoints: int = 512,
-    min_hessian: float = 50.0,
-    n_octaves: int = 4,
-    n_layers: int = 3,
-) -> Keypoints:
-    """Detect up to `max_keypoints` SURF keypoints on a (H, W) float image.
-
-    Returns a fixed-shape :class:`Keypoints`; slots beyond the number of
-    detections have mask=False.  Fully jittable; `vmap` for frame batches.
+    Returns per-candidate (score, xy, sigma, laplacian, mask), each (K, ...).
     """
-    h, w = img.shape
-    dets, traces, sizes = hessian_pyramid(img, n_octaves, n_layers)
-    n_middle = n_layers  # layers 1..n_layers are NMS candidates
+    n_l, h_o, w_o = dets.shape
+    step = 1 << octave
+    n_middle = n_l - 2
 
-    # ---- 3x3x3 NMS within each octave (over the full L+2 layer stack).
+    # ---- 3x3x3 NMS over the octave's layer stack.
     neighborhood_max = jax.lax.reduce_window(
         dets,
         -jnp.inf,
         jax.lax.max,
-        window_dimensions=(1, 3, 3, 3),
-        window_strides=(1, 1, 1, 1),
-        padding=((0, 0), (1, 1), (1, 1), (1, 1)),
+        window_dimensions=(3, 3, 3),
+        window_strides=(1, 1, 1),
+        padding=((1, 1), (1, 1), (1, 1)),
     )
     is_peak = (dets >= neighborhood_max) & (dets > min_hessian)
 
     # Validity: middle layers only, filter-fit margins (use the layer above's
-    # size, as NMS compares against it).
-    valid = jnp.zeros_like(is_peak)
-    for octave in range(len(sizes)):
-        for layer in range(1, n_middle + 1):
-            lay_valid = _layer_valid_mask(h, w, sizes[octave][layer + 1])
-            valid = valid.at[octave, layer].set(lay_valid)
-    candidates = is_peak & valid
+    # size, as NMS compares against it), interior of the strided grid.
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h_o, w_o), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h_o, w_o), 1)
+    valid_layers = []
+    for layer in range(n_l):
+        if 1 <= layer <= n_middle:
+            m = sizes_o[layer + 1] // 2 + 1
+            lv = (
+                (ys * step >= m) & (ys * step < h - m)
+                & (xs * step >= m) & (xs * step < w - m)
+                & (ys >= 1) & (ys < h_o - 1) & (xs >= 1) & (xs < w_o - 1)
+            )
+        else:
+            lv = jnp.zeros((h_o, w_o), bool)
+        valid_layers.append(lv)
+    candidates = is_peak & jnp.stack(valid_layers)
 
-    # ---- top-K across all octaves/layers.
+    # ---- top-K within the octave.
     flat_scores = jnp.where(candidates, dets, -jnp.inf).reshape(-1)
-    scores, idx = jax.lax.top_k(flat_scores, max_keypoints)
-    n_l = dets.shape[1]
-    o_idx = idx // (n_l * h * w)
-    rem = idx % (n_l * h * w)
-    l_idx = rem // (h * w)
-    rem = rem % (h * w)
-    y_idx = rem // w
-    x_idx = rem % w
+    k = min(max_keypoints, flat_scores.shape[0])
+    scores, idx = jax.lax.top_k(flat_scores, k)
+    if k < max_keypoints:
+        pad = max_keypoints - k
+        scores = jnp.pad(scores, (0, pad), constant_values=-jnp.inf)
+        idx = jnp.pad(idx, (0, pad))
+    l_idx = idx // (h_o * w_o)
+    rem = idx % (h_o * w_o)
+    y_idx = rem // w_o
+    x_idx = rem % w_o
     mask = jnp.isfinite(scores) & (scores > min_hessian)
 
     # ---- batched quadratic sub-pixel / sub-scale refinement.
     def neighborhood(dl, dy, dx):
         ll = jnp.clip(l_idx + dl, 0, n_l - 1)
-        yy = jnp.clip(y_idx + dy, 1, h - 2)
-        xx = jnp.clip(x_idx + dx, 1, w - 2)
-        return dets[o_idx, ll, yy, xx]
+        yy = jnp.clip(y_idx + dy, 1, h_o - 2)
+        xx = jnp.clip(x_idx + dx, 1, w_o - 2)
+        return dets[ll, yy, xx]
 
-    # derivative stencils (layer, y, x)
     d_l = 0.5 * (neighborhood(1, 0, 0) - neighborhood(-1, 0, 0))
     d_y = 0.5 * (neighborhood(0, 1, 0) - neighborhood(0, -1, 0))
     d_x = 0.5 * (neighborhood(0, 0, 1) - neighborhood(0, 0, -1))
@@ -214,26 +211,77 @@ def detect_surf(
         -2,
     )
     g = jnp.stack([d_l, d_y, d_x], -1)
-    offset = -_solve33(H3, g)  # (K, 3) in (layer, y, x) units
-    offset = jnp.clip(offset, -1.0, 1.0)
+    offset = jnp.clip(-_solve33(H3, g), -1.0, 1.0)  # (K, 3) in (layer, y, x)
 
-    # ---- assemble keypoints.
-    sizes_arr = jnp.asarray(sizes, jnp.float32)  # (O, L)
-    base_size = sizes_arr[o_idx, l_idx]
-    size_step = jnp.asarray([6 << o for o in range(len(sizes))], jnp.float32)[o_idx]
-    size_interp = base_size + offset[:, 0] * size_step
-    sigma = 1.2 * size_interp / 9.0
+    # ---- assemble in image coordinates (strided-grid units * step).
+    sizes_arr = jnp.asarray(sizes_o, jnp.float32)
+    base_size = sizes_arr[l_idx]
+    size_step = float(6 << octave)
+    sigma = 1.2 * (base_size + offset[:, 0] * size_step) / 9.0
     xy = jnp.stack(
-        [x_idx.astype(jnp.float32) + offset[:, 2],
-         y_idx.astype(jnp.float32) + offset[:, 1]],
+        [
+            (x_idx.astype(jnp.float32) + offset[:, 2]) * step,
+            (y_idx.astype(jnp.float32) + offset[:, 1]) * step,
+        ],
         -1,
     )
-    lap = jnp.sign(traces[o_idx, l_idx, y_idx, x_idx])
+    lap = jnp.sign(traces[l_idx, y_idx, x_idx])
+    return scores, xy, sigma, lap, mask
+
+
+def detect_surf(
+    img: jax.Array,
+    max_keypoints: int = 512,
+    min_hessian: float = 50.0,
+    n_octaves: int = 4,
+    n_layers: int = 3,
+) -> Keypoints:
+    """Detect up to `max_keypoints` SURF keypoints on a (H, W) float image.
+
+    Returns a fixed-shape :class:`Keypoints`; slots beyond the number of
+    detections have mask=False.  Fully jittable; `vmap` for frame batches.
+    """
+    h, w = img.shape
+    sizes = filter_sizes(n_octaves, n_layers)
+    max_size = sizes[-1][-1]
+    # Pattern corner offsets are in [-size//2, size - size//2]; +2 slack.
+    margin = max_size // 2 + 2
+    # Barrier the integral image: dozens of strided-slice consumers follow;
+    # fusing the cumsum into each would recompute it per box corner.
+    iip = jax.lax.optimization_barrier(pad_integral(integral_image(img), margin))
+
+    per_octave = []
+    for octave in range(n_octaves):
+        dets, traces = hessian_octave(iip, margin, h, w, octave, sizes[octave])
+        # Stage boundary: the refinement gathers 27 neighbors per candidate
+        # from `dets`; without a barrier XLA fuses the whole box-filter chain
+        # into each gather and recomputes it per sample.
+        dets, traces = jax.lax.optimization_barrier((dets, traces))
+        per_octave.append(
+            _octave_candidates(
+                dets, traces, octave, sizes[octave], h, w,
+                max_keypoints, min_hessian,
+            )
+        )
+
+    # ---- global top-K merge across octaves.
+    scores = jnp.concatenate([p[0] for p in per_octave])
+    xy = jnp.concatenate([p[1] for p in per_octave])
+    sigma = jnp.concatenate([p[2] for p in per_octave])
+    lap = jnp.concatenate([p[3] for p in per_octave])
+    mask = jnp.concatenate([p[4] for p in per_octave])
+
+    merged = jnp.where(mask, scores, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(merged, max_keypoints)
+    top_mask = jnp.isfinite(top_scores)
+    xy = jnp.take(xy, top_idx, axis=0)
+    sigma = jnp.take(sigma, top_idx)
+    lap = jnp.take(lap, top_idx)
     zero = jnp.zeros_like(sigma)
     return Keypoints(
-        xy=jnp.where(mask[:, None], xy, 0.0),
-        scale=jnp.where(mask, sigma, zero),
-        score=jnp.where(mask, scores, zero),
-        laplacian=jnp.where(mask, lap, zero),
-        mask=mask,
+        xy=jnp.where(top_mask[:, None], xy, 0.0),
+        scale=jnp.where(top_mask, sigma, zero),
+        score=jnp.where(top_mask, top_scores, zero),
+        laplacian=jnp.where(top_mask, lap, zero),
+        mask=top_mask,
     )

@@ -24,11 +24,26 @@ def detect_and_describe(
     max_keypoints: int = 512,
     feature_detector: str = "SURF",
 ) -> tuple[Keypoints, jax.Array]:
-    """(Keypoints, (K, 64|128) descriptors) for a preprocessed gray frame."""
-    if feature_detector.upper() != "SURF":
+    """(Keypoints, descriptors) for a preprocessed gray frame.
+
+    Dispatches on `feature_detector` like the reference's ``detect_features``
+    (VO_utility.cpp:91-126): SURF (the configured default, 64/128-d float)
+    and ORB (256-bit binary as {0,1} float vectors; match with
+    ``binary=True``).  AKAZE/SIFT raise, mirroring the reference's
+    unknown-detector error path (:120-124).
+    """
+    name = feature_detector.upper()
+    if name == "ORB":
+        from ergo_uvo_tpu.features.orb import describe_orb, detect_orb
+
+        kpts = detect_orb(img, max_keypoints=max_keypoints)
+        kpts = jax.lax.optimization_barrier(kpts)
+        desc = describe_orb(img, kpts)
+        return kpts, desc
+    if name != "SURF":
         raise NotImplementedError(
-            f"feature_detector={feature_detector!r}: only the SURF family is "
-            "implemented natively (the reference's configured default)"
+            f"feature_detector={feature_detector!r}: SURF (default) and ORB "
+            "are implemented natively"
         )
     if not surf.upright:
         raise NotImplementedError(
@@ -42,5 +57,8 @@ def detect_and_describe(
         n_octaves=surf.n_octaves,
         n_layers=surf.n_octave_layers,
     )
+    # Stage boundary: keep XLA from fusing the detector's response pipeline
+    # into the descriptor's per-sample gathers (producer recompute blow-up).
+    kpts = jax.lax.optimization_barrier(kpts)
     desc = describe_upright_surf(img, kpts, extended=surf.extended)
     return kpts, desc

@@ -52,6 +52,7 @@ def match_descriptors(
     mask_t: jax.Array,
     ratio: float = 0.7,
     impl: str = "auto",
+    binary: bool = False,
 ) -> Matches:
     """kNN(k=2) + Lowe ratio matching of query descriptors against train.
 
@@ -61,12 +62,31 @@ def match_descriptors(
       mask_q/mask_t: validity masks.
       ratio: Lowe threshold (0.7 mono / 0.8 stereo — *_VO_parameters.yaml).
       impl: 'auto' | 'xla' | 'pallas'.
+      binary: descriptors are {0,1} bit vectors (ORB/AKAZE).  Squared L2 on
+        bits equals Hamming distance, so the same matmul kernel serves the
+        reference's NORM_HAMMING branch (VO_utility.cpp:524-529); the ratio
+        test is then applied to Hamming (= squared) distances, matching
+        knnMatch-on-Hamming semantics.
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
-        from ergo_uvo_tpu.features.pallas_matcher import top2_distances_pallas
+        from ergo_uvo_tpu.features.pallas_matcher import (
+            fits_vmem,
+            top2_distances_pallas,
+        )
 
+        if not fits_vmem(desc_q.shape[0], desc_t.shape[0], desc_t.shape[1]):
+            import warnings
+
+            warnings.warn(
+                f"matcher problem {desc_q.shape[0]}x{desc_t.shape[0]}x"
+                f"{desc_t.shape[1]} exceeds the Pallas kernel's VMEM plan; "
+                "falling back to the XLA path (slower)",
+                stacklevel=2,
+            )
+            impl = "xla"
+    if impl == "pallas":
         min1, idx1, min2 = top2_distances_pallas(desc_q, desc_t, mask_t)
     else:
         # Squared L2 via the matmul identity; invalid train columns -> +inf.
@@ -77,8 +97,12 @@ def match_descriptors(
         d2 = jnp.where(mask_t[None, :], d2, _INF)
         min1, idx1, min2 = _top2_from_distances(d2)
 
-    d1 = jnp.sqrt(jnp.maximum(min1, 0.0))
-    d2nd = jnp.sqrt(jnp.maximum(min2, 0.0))
+    if binary:
+        d1 = jnp.maximum(min1, 0.0)  # Hamming distance directly
+        d2nd = jnp.maximum(min2, 0.0)
+    else:
+        d1 = jnp.sqrt(jnp.maximum(min1, 0.0))
+        d2nd = jnp.sqrt(jnp.maximum(min2, 0.0))
     n_train = jnp.sum(mask_t.astype(jnp.int32))
     # OpenCV knnMatch(k=2) yields no pair when <2 train descriptors exist;
     # the ratio test then rejects everything.

@@ -7,6 +7,11 @@ matmul identity ||q-t||^2 = ||q||^2 + ||t||^2 - 2 q.t, and reduces it to
 (min, argmin, second-min) per row while the tile is still in VMEM — the full
 distance matrix never reaches HBM.  For the default 512x512x64 problem this is
 one grid step; the same kernel scales to several thousand keypoints.
+
+Shapes are handled internally: Q is padded to the tile multiple, T and D to
+lane multiples (padded train columns are masked invalid), so any keypoint
+budget works.  `fits_vmem` reports whether a problem size fits the kernel's
+VMEM plan — the matcher falls back to the XLA path (with a warning) when not.
 """
 
 from __future__ import annotations
@@ -19,6 +24,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 3.4e38  # stand-in for +inf (avoids inf-inf NaNs in-kernel)
+
+# VMEM budget for the kernel's working set (v5e has ~16 MB per core; leave
+# headroom for double-buffering and the compiler's own temporaries).
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _plan(Q: int, T: int, D: int):
+    """(TQ, Qp, Tp, Dp): query tile + padded operand sizes."""
+    Dp = _round_up(D, 128)
+    Tp = _round_up(T, 128)
+    TQ = min(_round_up(Q, 8), 256)
+    Qp = _round_up(Q, TQ)
+    return TQ, Qp, Tp, Dp
+
+
+def fits_vmem(Q: int, T: int, D: int) -> bool:
+    """Whether the kernel's per-step working set fits the VMEM budget."""
+    TQ, _, Tp, Dp = _plan(Q, T, D)
+    # double-buffered q tile + constant train block + distance tile and a
+    # same-size temporary (all f32).
+    working = 4 * (2 * TQ * Dp + Tp * Dp + 2 * TQ * Tp)
+    return working <= _VMEM_BUDGET_BYTES
 
 
 def _top2_kernel(q_ref, t_ref, tmask_ref, min1_ref, idx1_ref, min2_ref):
@@ -58,22 +89,24 @@ def top2_distances_pallas(
     """Row-wise (min, argmin, second-min) squared L2 distances, fused on TPU.
 
     Returns float32/int32/float32 arrays of shape (Q,); invalid train columns
-    are excluded.  Rows with no valid candidate return ~3.4e38 sentinels
-    (mapped to +inf by the caller via isfinite-free comparisons).
+    are excluded.  Rows with no valid candidate return +inf distances.  Any
+    (Q, T, D) works: operands are padded internally to tile multiples.
     """
     Q, D = desc_q.shape
     T, _ = desc_t.shape
-    TQ = min(Q, 256)
-    assert Q % TQ == 0, f"query count {Q} must be a multiple of {TQ}"
-    grid = (Q // TQ,)
+    TQ, Qp, Tp, Dp = _plan(Q, T, D)
+
+    q = jnp.zeros((Qp, Dp), jnp.float32).at[:Q, :D].set(desc_q.astype(jnp.float32))
+    t = jnp.zeros((Tp, Dp), jnp.float32).at[:T, :D].set(desc_t.astype(jnp.float32))
+    tm = jnp.zeros((Tp,), jnp.int32).at[:T].set(mask_t.astype(jnp.int32))
 
     min1, idx1, min2 = pl.pallas_call(
         _top2_kernel,
-        grid=grid,
+        grid=(Qp // TQ,),
         in_specs=[
-            pl.BlockSpec((TQ, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ, Dp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp, Dp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Tp,), lambda i: (0,), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((TQ, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -81,16 +114,17 @@ def top2_distances_pallas(
             pl.BlockSpec((TQ, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Q, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Q, 1), jnp.int32),
-            jax.ShapeDtypeStruct((Q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Qp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Qp, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(desc_q.astype(jnp.float32), desc_t.astype(jnp.float32), mask_t.astype(jnp.int32))
+    )(q, t, tm)
 
-    min1 = min1[:, 0]
-    min2 = min2[:, 0]
+    min1 = min1[:Q, 0]
+    idx1 = idx1[:Q, 0]
+    min2 = min2[:Q, 0]
     # Map the _BIG sentinel back to +inf so downstream isfinite checks work.
     min1 = jnp.where(min1 >= _BIG, jnp.inf, min1)
     min2 = jnp.where(min2 >= _BIG, jnp.inf, min2)
-    return min1, idx1[:, 0], min2
+    return min1, idx1, min2

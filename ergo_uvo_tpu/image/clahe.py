@@ -6,7 +6,9 @@ step (VO_utility.cpp:349-355,368-374).  This re-implementation follows
 OpenCV's algorithm closely (tile histograms → clip + excess redistribution →
 CDF LUTs → bilinear LUT interpolation) with fixed shapes:
 
-  * per-tile 256-bin histograms via one `segment_sum` scatter-add,
+  * per-tile 256-bin histograms via a tile reshape + compare-and-reduce
+    (scatter-free: TPU scatters serialize, a fused (tiles, area, 256)
+    equality-reduction runs on the VPU at full rate),
   * OpenCV's integer excess redistribution (uniform + stepped residual),
   * bilinear interpolation between the 4 neighboring tile LUTs as flat
     gathers.
@@ -51,16 +53,15 @@ def clahe(
 
     ints = jnp.clip(jnp.round(padded), 0, 255).astype(jnp.int32)
 
-    # ---- per-tile histograms: one scatter-add over tile_id*256 + intensity.
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, ints.shape, 0) // th
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, ints.shape, 1) // tw
-    tile_ids = row_ids * gw + col_ids
-    seg = tile_ids * HIST_SIZE + ints
-    hist = jax.ops.segment_sum(
-        jnp.ones_like(ints).reshape(-1),
-        seg.reshape(-1),
-        num_segments=gh * gw * HIST_SIZE,
-    ).reshape(gh * gw, HIST_SIZE)
+    # ---- per-tile histograms, scatter-free: reshape into (tiles, area) and
+    # count each bin with a fused equality + reduction over the area axis.
+    tiles = (
+        ints.reshape(gh, th, gw, tw).transpose(0, 2, 1, 3).reshape(gh * gw, th * tw)
+    )
+    bins = jnp.arange(HIST_SIZE, dtype=jnp.int32)
+    hist = jnp.sum(
+        (tiles[:, :, None] == bins[None, None, :]).astype(jnp.int32), axis=1
+    )
 
     # ---- clip + redistribute excess (OpenCV integer semantics).
     tile_area = th * tw

@@ -12,6 +12,7 @@ from ergo_uvo_tpu.io.synthetic import (  # noqa: F401
     SyntheticSequence,
     make_seafloor_texture,
     render_frame,
+    make_loop_sequence,
     make_mono_sequence,
     make_stereo_sequence,
 )

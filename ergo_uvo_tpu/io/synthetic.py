@@ -168,6 +168,53 @@ def make_mono_sequence(
     )
 
 
+def make_loop_sequence(
+    n_frames: int = 24,
+    height: int = 240,
+    width: int = 320,
+    dt: float = 0.5,
+    depth: float = 5.0,
+    radius: float = 3.0,
+    closure_gap: float = 0.8,
+    seed: int = 0,
+    tex_scale: float = 60.0,
+) -> SyntheticSequence:
+    """Closed-loop survey: the camera translates along a circle (constant
+    downward orientation) and the last frame returns to within `closure_gap`
+    meters of the first — the loop-closure fixture for the pose-graph layer
+    (BASELINE configs[3]; the reference has no loop closure, SURVEY.md §0).
+
+    Constant orientation keeps retrieval appearance-stable for upright SURF.
+    """
+    K = np.array(
+        [[0.9 * width, 0, width / 2], [0, 0.9 * width, height / 2], [0, 0, 1.0]]
+    )
+    tex = make_seafloor_texture(1024, seed)
+    ts = np.arange(n_frames) * dt
+    # Angle sweep that stops `closure_gap` short of a full revolution.
+    end = 2 * np.pi - closure_gap / radius
+    th = np.linspace(0.0, end, n_frames)
+    C = np.stack(
+        [radius * np.cos(th), radius * np.sin(th), np.full(n_frames, depth)], -1
+    )
+    R_down = np.array([[1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0]])  # cam->world
+    Rs = np.tile(R_down.T, (n_frames, 1, 1))
+    imgs = np.stack(
+        [render_frame(tex, K, Rs[i], C[i], height, width, tex_scale) for i in range(n_frames)]
+    )
+    ranges = np.full(n_frames, depth, np.float32)
+    return SyntheticSequence(
+        imgs_left=imgs.astype(np.float32),
+        imgs_right=None,
+        timestamps=ts.astype(np.float32),
+        ranges=ranges,
+        positions=C.astype(np.float32),
+        rotations=Rs.astype(np.float32),
+        velocities_prevcam=_gt_velocities(C, Rs, dt).astype(np.float32),
+        K=K.astype(np.float32),
+    )
+
+
 def make_stereo_sequence(
     n_frames: int = 30,
     height: int = 240,

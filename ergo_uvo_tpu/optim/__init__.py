@@ -22,3 +22,11 @@ from ergo_uvo_tpu.optim.pose_graph import (  # noqa: F401
     optimize_pose_graph,
     detect_loop_closures,
 )
+from ergo_uvo_tpu.optim.trajectory import (  # noqa: F401
+    BATrajectoryResult,
+    PoseGraphResult,
+    close_loops_and_optimize,
+    integrate_mono_poses,
+    refine_mono_trajectory,
+    verify_loop_candidate,
+)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ergo_uvo_tpu.features.matcher import match_descriptors
 from ergo_uvo_tpu.geometry.camera import projection_matrix
-from ergo_uvo_tpu.optim.ba import BAProblem, BAState, ba_solve
+from ergo_uvo_tpu.optim.ba import BAProblem, BAState, ba_solve, reprojection_residuals
 from ergo_uvo_tpu.geometry.triangulation import triangulate_points
 
 
@@ -44,8 +44,15 @@ def build_ba_problem(
     lowe_ratio: float = 0.8,
     min_track_length: int = 2,
     num_fixed_poses: int = 2,
+    obs_gate_px: float = 6.0,
 ):
     """Associate window features to anchor landmarks and build a BAProblem.
+
+    Observations whose *initial* reprojection error (VO poses + triangulated
+    landmark init) exceeds `obs_gate_px` are masked out: descriptor matching
+    leaks a few percent of mismatches even after the ratio test, and a plain
+    least-squares BA is poisoned by them (tens-of-pixels residuals dominate
+    the quadratic cost and the LM step stalls).
 
     Returns (problem, X0 (L,3) landmark init, lm_mask (L,)).
     """
@@ -54,7 +61,12 @@ def build_ba_problem(
     anchor_mask = window.kp_mask[0]
 
     def match_to_anchor(desc_p, mask_p, xy_p):
-        m = match_descriptors(anchor_desc, anchor_mask, desc_p, mask_p, lowe_ratio)
+        # impl="xla": this call is vmapped over the window axis, which the
+        # Pallas kernel's block specs don't support; the batched matmul path
+        # is the right shape here anyway.
+        m = match_descriptors(
+            anchor_desc, anchor_mask, desc_p, mask_p, lowe_ratio, impl="xla"
+        )
         uv = jnp.take(xy_p, m.idx, axis=0)
         return jnp.where(m.mask[:, None], uv, 0.0), m.mask
 
@@ -70,16 +82,21 @@ def build_ba_problem(
     P0 = projection_matrix(K_cam, window.R[0], window.t[0])
     P_last = projection_matrix(K_cam, window.R[-1], window.t[-1])
     X0 = triangulate_points(P0, P_last, obs_uv[0], obs_uv[-1])
-    seen = jnp.sum(obs_mask.astype(jnp.int32), axis=0)
-    lm_mask = (
-        anchor_mask
-        & obs_mask[-1]
-        & (seen >= min_track_length)
-        & jnp.all(jnp.isfinite(X0), axis=-1)
-    )
+    lm_finite = anchor_mask & obs_mask[-1] & jnp.all(jnp.isfinite(X0), axis=-1)
     # Landmarks must be in front of the anchor camera.
     z0 = (X0 @ window.R[0].T + window.t[0])[:, 2]
-    lm_mask = lm_mask & (z0 > 0)
+    lm_finite = lm_finite & (z0 > 0)
+
+    # ---- outlier gate: drop observations inconsistent with the initial
+    # geometry, then re-require the track length on what survives.
+    X0_safe = jnp.where(lm_finite[:, None], X0, jnp.asarray([0.0, 0.0, 1.0]))
+    r0, _, _ = reprojection_residuals(
+        K_cam, window.R, window.t, X0_safe, obs_uv, obs_mask
+    )
+    err0 = jnp.linalg.norm(r0, axis=-1)  # (P, L)
+    obs_mask = obs_mask & lm_finite[None, :] & (err0 < obs_gate_px)
+    seen = jnp.sum(obs_mask.astype(jnp.int32), axis=0)
+    lm_mask = lm_finite & obs_mask[0] & obs_mask[-1] & (seen >= min_track_length)
     obs_mask = obs_mask & lm_mask[None, :]
     # Two anchored poses: monocular BA has a 7-dof gauge (SE(3) + scale);
     # fixing one pose pins the frame, the second pins the scale.

@@ -109,10 +109,16 @@ def mono_vo_step(
     becomes_init = (~state.initialized) & enough_features
     run_steady = state.initialized
 
-    # ---- matching (prev -> curr; VO_utility.cpp:551-573).
+    # ---- matching (prev -> curr; VO_utility.cpp:551-573).  Binary
+    # descriptors (ORB) use Hamming-distance ratio semantics (:524-529).
+    binary = cfg.feature_detector.upper() in ("ORB", "AKAZE")
     matches = match_descriptors(
-        state.prev_desc, state.prev_mask, desc, kpts.mask, cfg.lowe_ratio_test
+        state.prev_desc, state.prev_mask, desc, kpts.mask, cfg.lowe_ratio_test,
+        binary=binary,
     )
+    # Stage boundary (see image/preprocess.py): keep the matcher's outputs
+    # materialized instead of re-fused into every downstream consumer.
+    matches = jax.lax.optimization_barrier(matches)
     prev_xy = jnp.where(matches.mask[:, None], state.prev_xy, 0.0)
     curr_xy = jnp.where(
         matches.mask[:, None], jnp.take(kpts.xy, matches.idx, axis=0), 0.0

@@ -108,8 +108,9 @@ def stereo_vo_step(
     detections_ok = (n_l >= cfg.min_num_features) & (n_r >= cfg.min_num_features)
 
     # ---- stereo match curr L (query) <-> R (train) (visual_odometry.h:558).
+    binary = cfg.feature_detector.upper() in ("ORB", "AKAZE")
     sm = match_descriptors(desc_l, kpts_l.mask, desc_r, kpts_r.mask,
-                           cfg.lowe_ratio_test)
+                           cfg.lowe_ratio_test, binary=binary)
     n_stereo = sm.count
     stereo_ok = detections_ok & (n_stereo > cfg.min_num_features)
     # Current stereo-matched set, aligned on left slots; emptied when the
@@ -120,7 +121,7 @@ def stereo_vo_step(
     # ---- triangular matching: prev stereo-matched left -> curr FULL left
     # keypoint set (:592 matches against curr_left_descr, not the subset).
     tm = match_descriptors(state.prev_desc_l, state.prev_mask, desc_l,
-                           kpts_l.mask, cfg.lowe_ratio_test)
+                           kpts_l.mask, cfg.lowe_ratio_test, binary=binary)
     n_tri = tm.count
     tri_ok = stereo_ok & (n_tri > cfg.min_num_features)
     tri_mask = tm.mask & tri_ok

