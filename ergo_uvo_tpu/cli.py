@@ -75,28 +75,58 @@ def _run_mono(args):
         seq = make_mono_sequence(n_frames=args.synthetic, height=480, width=640)
         imgs, tss, rgs, K = seq.imgs_left, seq.timestamps, seq.ranges, seq.K
         gt_positions = seq.positions
+        state, outs = run_mono_vo(
+            jnp.asarray(imgs), jnp.asarray(tss), jnp.asarray(rgs),
+            jnp.asarray(K), cfg, jax.random.PRNGKey(args.seed),
+        )
     else:
+        # Real-data path: STREAMING ingestion — frames decode on host threads
+        # (native prefetch ring) chunk by chunk while the device runs VO; the
+        # sequence never bulk-materializes.
         if not (args.intrinsics and args.camera and args.ranges):
             raise SystemExit("--intrinsics, --camera and --ranges required "
                              "(or use --synthetic N)")
+        import glob as _glob
+
+        from ergo_uvo_tpu.io.sequence import JpegDirectorySource
+        from ergo_uvo_tpu.pipeline.mono import run_mono_vo_streaming
+        from PIL import Image
+
         intr = load_mono_intrinsics(args.intrinsics, args.camera)
-        imgs = _load_frames(args)
-        h, w = imgs.shape[1:3]
+        paths = sorted(_glob.glob(os.path.join(args.frames, "*.jpg"))) + sorted(
+            _glob.glob(os.path.join(args.frames, "*.jpeg"))
+        )
+        if not paths:
+            raise SystemExit(f"no JPEG frames under {args.frames}")
+        with Image.open(paths[0]) as im0:
+            w, h = im0.size
         plan = build_preprocess_plan(
             intr.K(), intr.dist_coeffs(), w, h, cfg.preprocessing.desired_width,
             cfg.preprocessing.clahe, cfg.preprocessing.clip_limit,
         )
-        pre = jax.jit(jax.vmap(lambda im: preprocess_frame(plan, im)))
-        imgs = np.asarray(pre(jnp.asarray(imgs)))
         K = np.asarray(plan.new_K)
         rgs = np.loadtxt(args.ranges).astype(np.float32)
-        tss = np.arange(len(imgs), dtype=np.float32) / cfg.node_freq
+        tss = np.arange(len(paths), dtype=np.float32) / cfg.node_freq
         gt_positions = None
-
-    state, outs = run_mono_vo(
-        jnp.asarray(imgs), jnp.asarray(tss), jnp.asarray(rgs),
-        jnp.asarray(K), cfg, jax.random.PRNGKey(args.seed),
-    )
+        if args.ba_window or args.loop_closure:
+            # BA / loop closure need random access to frames for keyframe
+            # re-detection — bulk-decode in that mode.
+            imgs = _load_frames(args)
+            pre = jax.jit(jax.vmap(lambda im: preprocess_frame(plan, im)))
+            imgs = np.asarray(pre(jnp.asarray(imgs)))
+            state, outs = run_mono_vo(
+                jnp.asarray(imgs), jnp.asarray(tss), jnp.asarray(rgs),
+                jnp.asarray(K), cfg, jax.random.PRNGKey(args.seed),
+            )
+        else:
+            source = JpegDirectorySource(paths, timestamps=tss, ranges=rgs)
+            chunk = max(min(args.chunk_size, len(paths)), 1)
+            state, outs = run_mono_vo_streaming(
+                source, plan, jnp.asarray(K), cfg, jax.random.PRNGKey(args.seed),
+                chunk_size=chunk,
+            )
+            n_done = len(outs.published)
+            imgs, tss, rgs = np.zeros((n_done,)), tss[:n_done], rgs[:n_done]
     outs = jax.tree.map(np.asarray, outs)
 
     rec = RunRecorder(args.out)
@@ -263,6 +293,8 @@ def main(argv=None):
         sp.add_argument("--ba-iters", type=int, default=12)
         sp.add_argument("--loop-closure", action="store_true",
                         help="run retrieval + pose-graph loop closure")
+        sp.add_argument("--chunk-size", type=int, default=16,
+                        help="streaming chunk length (real-data mono)")
     args = p.parse_args(argv)
     if args.mode == "mono":
         _run_mono(args)

@@ -29,6 +29,76 @@ class FrameSource:
         raise NotImplementedError
 
 
+class JpegDirectorySource(FrameSource):
+    """Streaming JPEG-directory source: frames are decoded on demand by the
+    native threaded prefetch ring (io/native, libjpeg) — or PIL when the
+    toolchain is unavailable — so arbitrarily long sequences never fully
+    materialize in host memory (the streaming analogue of the reference's
+    queue-size-1 subscriber, visual_odometry.h:766-785).
+
+    `timestamps`/`ranges`: optional full-length arrays (they are tiny).
+    """
+
+    def __init__(self, paths, timestamps=None, ranges=None, gray=True,
+                 threads: int = 4):
+        self.paths = list(paths)
+        self.timestamps = (
+            np.arange(len(self.paths), dtype=np.float32)
+            if timestamps is None else np.asarray(timestamps, np.float32)
+        )
+        self.ranges = None if ranges is None else np.asarray(ranges, np.float32)
+        self.gray = gray
+        self.threads = threads
+
+    def __len__(self):
+        return len(self.paths)
+
+    def _frames(self) -> Iterator[np.ndarray]:
+        from ergo_uvo_tpu.io import native
+
+        if native.available():
+            # The ring yields frames out of order; re-order with a small
+            # hold-back buffer (bounded by the ring capacity).
+            loader = native.JpegLoader(self.paths, threads=self.threads,
+                                       gray=self.gray)
+            try:
+                pending: dict[int, np.ndarray] = {}
+                next_idx = 0
+                for idx, img in loader:
+                    pending[idx] = img
+                    while next_idx in pending:
+                        yield pending.pop(next_idx)
+                        next_idx += 1
+                while next_idx in pending:
+                    yield pending.pop(next_idx)
+                    next_idx += 1
+            finally:
+                loader.close()
+        else:
+            from PIL import Image
+
+            for p in self.paths:
+                img = Image.open(p)
+                yield np.asarray(img.convert("L" if self.gray else "RGB"))
+
+    def batches(self, batch_size: int) -> Iterator[FrameBatch]:
+        buf, t0 = [], 0
+        for img in self._frames():
+            buf.append(np.asarray(img, np.float32))
+            if len(buf) == batch_size:
+                sl = slice(t0, t0 + batch_size)
+                yield FrameBatch(
+                    imgs=np.stack(buf),
+                    imgs_right=None,
+                    timestamps=self.timestamps[sl],
+                    ranges=None if self.ranges is None else self.ranges[sl],
+                )
+                t0 += batch_size
+                buf = []
+        # Trailing partial batch is dropped (fixed shapes; callers pad the
+        # path list if every frame matters).
+
+
 class ArraySource(FrameSource):
     """In-memory source over preloaded arrays (tests, benchmarks, replays)."""
 

@@ -205,6 +205,59 @@ def mono_vo_step(
     return next_state, out
 
 
+def run_mono_vo_streaming(
+    source,
+    plan,
+    K: jax.Array,
+    cfg: MonoVOConfig,
+    key: jax.Array,
+    chunk_size: int = 16,
+    state: MonoVOState | None = None,
+):
+    """Stream a :class:`ergo_uvo_tpu.io.sequence.FrameSource` through mono VO.
+
+    Host loop over fixed-size frame chunks: each chunk is preprocessed
+    (vmapped) and scanned as one XLA program while the NEXT chunk decodes on
+    host threads (the native prefetch ring) — frames never bulk-materialize.
+    Returns (final_state, outputs stacked over all streamed frames).
+    """
+    import numpy as np
+
+    from ergo_uvo_tpu.image.preprocess import preprocess_frame
+
+    if state is None:
+        state = mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim)
+
+    pre = jax.jit(jax.vmap(lambda im: preprocess_frame(plan, im)))
+
+    @jax.jit
+    def run_chunk(state, imgs, tss, rgs, key):
+        keys = jax.random.split(key, imgs.shape[0])
+
+        def step(carry, inp):
+            img, ts, rng_m, k = inp
+            return mono_vo_step(carry, img, ts, rng_m, K, k, cfg)
+
+        return jax.lax.scan(step, state, (imgs, tss, rgs, keys))
+
+    chunks = []
+    for batch in source.batches(chunk_size):
+        key, sub = jax.random.split(key)
+        imgs = pre(jnp.asarray(batch.imgs))
+        rgs = (
+            jnp.asarray(batch.ranges)
+            if batch.ranges is not None
+            else jnp.ones(imgs.shape[0], imgs.dtype)
+        )
+        state, outs = run_chunk(state, imgs, jnp.asarray(batch.timestamps),
+                                rgs, sub)
+        chunks.append(jax.tree.map(np.asarray, outs))
+    if not chunks:
+        raise ValueError("source yielded no complete chunks")
+    outputs = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
+    return state, outputs
+
+
 def run_mono_vo(
     imgs: jax.Array,  # (T, H, W) preprocessed gray frames
     timestamps: jax.Array,  # (T,)
