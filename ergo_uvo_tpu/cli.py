@@ -134,9 +134,12 @@ def _run_mono(args):
         rec.record_frame(i, jax.tree.map(lambda v, i=i: v[i], outs))
     rec.close()
 
-    pos = integrate_mono_trajectory(outs.velocity, outs.R, tss, outs.published)
+    pos, dead_reckoned = integrate_mono_trajectory(
+        outs.velocity, outs.R, tss, outs.published, outs.validity
+    )
     summary = {
         "frames": int(len(imgs)),
+        "dead_reckoned_frames": int(dead_reckoned.sum()),
         "published": int(outs.published.sum()),
         "valid": int(outs.validity.sum()),
         "mean_inliers": float(outs.num_inliers[outs.published].mean())

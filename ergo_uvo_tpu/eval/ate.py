@@ -83,10 +83,19 @@ def integrate_mono_trajectory(
     R_rel maps prev-cam -> curr-cam coords.  Orientation is composed as
     R_wc[k] = R_rel[k] @ R_wc[k-1]; position advances by the velocity rotated
     into the world frame.  Unpublished frames hold the pose (frame skipped);
-    invalid frames still integrate (constant-motion semantics).
+    invalid frames still integrate — the reference's constant-motion
+    semantics (stale pose + stale SF, visual_odometry.h:342-344).  When
+    `validity` is provided, `dead_reckoned` is attached to the returned array
+    (``pos.dead_reckoned``-style second return) so consumers can see which
+    positions rest on held state rather than a fresh estimate.
+
+    Returns `pos (n, 3)`; with `validity` given returns `(pos, dead_reckoned
+    (n,) bool)` where True marks frames integrated under constant-motion
+    hold.
     """
     n = len(velocities)
     pos = np.zeros((n, 3))
+    dead = np.zeros(n, bool)
     R_wc = np.eye(3)
     prev_t = timestamps[0]
     p = np.zeros(3)
@@ -96,6 +105,10 @@ def integrate_mono_trajectory(
             disp_prevcam = np.asarray(velocities[k]) * dt
             p = p + R_wc.T @ disp_prevcam
             R_wc = np.asarray(rotations_rel[k]) @ R_wc
+            if validity is not None and not validity[k]:
+                dead[k] = True
         prev_t = timestamps[k]
         pos[k] = p
+    if validity is not None:
+        return pos, dead
     return pos

@@ -18,7 +18,11 @@ from ergo_uvo_tpu.features.detector import (  # noqa: F401
     Keypoints,
     detect_surf,
 )
-from ergo_uvo_tpu.features.descriptor import describe_upright_surf  # noqa: F401
+from ergo_uvo_tpu.features.descriptor import (  # noqa: F401
+    describe_surf,
+    describe_upright_surf,
+    surf_orientations,
+)
 from ergo_uvo_tpu.features.matcher import (  # noqa: F401
     Matches,
     match_descriptors,

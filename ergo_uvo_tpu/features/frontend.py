@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 
 from ergo_uvo_tpu.config import SurfConfig
-from ergo_uvo_tpu.features.descriptor import describe_upright_surf
+from ergo_uvo_tpu.features.descriptor import describe_surf
 from ergo_uvo_tpu.features.detector import Keypoints, detect_surf
 
 
@@ -45,11 +45,6 @@ def detect_and_describe(
             f"feature_detector={feature_detector!r}: SURF (default) and ORB "
             "are implemented natively"
         )
-    if not surf.upright:
-        raise NotImplementedError(
-            "oriented SURF not implemented; the reference configs use "
-            "upright=true (mono_VO_parameters.yaml:49)"
-        )
     kpts = detect_surf(
         img,
         max_keypoints=max_keypoints,
@@ -60,5 +55,7 @@ def detect_and_describe(
     # Stage boundary: keep XLA from fusing the detector's response pipeline
     # into the descriptor's per-sample gathers (producer recompute blow-up).
     kpts = jax.lax.optimization_barrier(kpts)
-    desc = describe_upright_surf(img, kpts, extended=surf.extended)
+    desc = describe_surf(
+        img, kpts, extended=surf.extended, upright=surf.upright
+    )
     return kpts, desc

@@ -121,6 +121,7 @@ class WindowedBA:
         self.window_size = window_size
         self.iters = iters
         self._frames: list = []
+        self._refine_fn = None  # jitted (build problem + solve), one program
 
     def push_keyframe(self, xy, desc, kp_mask, R_wc, t_wc):
         self._frames.append((xy, desc, kp_mask, R_wc, t_wc))
@@ -136,10 +137,23 @@ class WindowedBA:
         return KeyframeWindow(xy=xy, desc=desc, kp_mask=mask, R=R, t=t)
 
     def refine(self, K_cam: jax.Array, lowe_ratio: float = 0.8):
-        """Run window BA; returns (BAState, costs, lm_mask)."""
+        """Run window BA; returns (BAState, costs, lm_mask).
+
+        Association + solve compile into ONE XLA program (cached on first
+        use) — per-call dispatch overhead would otherwise dominate the small
+        window solve.
+        """
         w = self.window()
-        problem, X0, lm_mask = build_ba_problem(w, K_cam, lowe_ratio)
-        state, costs = ba_solve(problem, w.R, w.t, X0, iters=self.iters)
+        if self._refine_fn is None:
+
+            @jax.jit
+            def _refine(w, K_cam):
+                problem, X0, lm_mask = build_ba_problem(w, K_cam, lowe_ratio)
+                state, costs = ba_solve(problem, w.R, w.t, X0, iters=self.iters)
+                return state, costs, lm_mask
+
+            self._refine_fn = _refine
+        state, costs, lm_mask = self._refine_fn(w, K_cam)
         # Write refined poses back into the window.
         self._frames = [
             (f[0], f[1], f[2], state.R[i], state.t[i])

@@ -15,3 +15,4 @@ from ergo_uvo_tpu.utils.visualize import (  # noqa: F401
     dump_matches,
     save_image,
 )
+from ergo_uvo_tpu.utils.debug import assert_finite, nan_guard  # noqa: F401

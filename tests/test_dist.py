@@ -59,6 +59,47 @@ class TestShardedBA:
         assert costs[-1] < max(0.05 * costs[0], 1.5 * noise_floor)
 
 
+class TestWindowShardedBA:
+    """2-D ('kf','lm') mesh: window poses sharded + ppermute Schur ring."""
+
+    @pytest.mark.parametrize("shape", [(2, 4), (4, 2), (8, 1), (1, 8)])
+    def test_matches_single_device(self, shape):
+        from ergo_uvo_tpu.dist import make_mesh_2d, window_sharded_ba_solve
+
+        n_kf, n_lm = shape
+        mesh2 = make_mesh_2d(n_kf, n_lm)
+        Rs, ts, X, R0, t0, X0, obs, mask = make_ba_scene(P=8, L=64)
+        prob = BAProblem(
+            K=jnp.asarray(K), obs_uv=obs, obs_mask=mask, num_fixed_poses=2
+        )
+        ref_state, ref_costs = ba_solve(prob, R0, t0, X0, iters=8)
+        (R, t, Xs, lam), costs = window_sharded_ba_solve(
+            mesh2, jnp.asarray(K), obs, mask, R0, t0, X0,
+            iters=8, num_fixed=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(costs)[-1], np.asarray(ref_costs)[-1], rtol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(t), np.asarray(ref_state.t), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(Xs), np.asarray(ref_state.X), atol=5e-3
+        )
+
+    def test_converges_from_noise(self):
+        from ergo_uvo_tpu.dist import make_mesh_2d, window_sharded_ba_solve
+
+        mesh2 = make_mesh_2d(2, 4)
+        Rs, ts, X, R0, t0, X0, obs, mask = make_ba_scene(P=8, L=128, seed=11)
+        (_, _, _, _), costs = window_sharded_ba_solve(
+            mesh2, jnp.asarray(K), obs, mask, R0, t0, X0, iters=15, num_fixed=2
+        )
+        costs = np.asarray(costs)
+        noise_floor = 8 * 128 * 2 * 0.1**2
+        assert costs[-1] < max(0.05 * costs[0], 1.5 * noise_floor), costs[[0, -1]]
+
+
 class TestDataParallelVO:
     def test_batch_runs_sharded(self, mesh):
         from ergo_uvo_tpu.config import MonoVOConfig, SurfConfig

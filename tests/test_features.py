@@ -141,6 +141,39 @@ class TestDescriptor:
         assert good.mean() > 0.8, good.mean()
 
 
+class TestOrientedSurf:
+    def test_rotation_invariance_90deg(self):
+        """Oriented descriptors of the same physical points match across a
+        90-degree image rotation (upright ones would not)."""
+        from ergo_uvo_tpu.features import describe_surf
+
+        img = textured_image(240, 240, seed=5)
+        rot = np.rot90(img).copy()  # (x, y) -> (y, W-1-x)
+        k1 = detect_surf(jnp.asarray(img), max_keypoints=96, min_hessian=100.0)
+        k2 = detect_surf(jnp.asarray(rot), max_keypoints=96, min_hessian=100.0)
+        d1 = describe_surf(jnp.asarray(img), k1, upright=False)
+        d2 = describe_surf(jnp.asarray(rot), k2, upright=False)
+        m = match_descriptors(d1, k1.mask, d2, k2.mask, ratio=0.8)
+        ok = np.asarray(m.mask)
+        assert ok.sum() > 10, ok.sum()
+        xy1 = np.asarray(k1.xy)[ok]
+        xy2 = np.asarray(k2.xy)[np.asarray(m.idx)[ok]]
+        # np.rot90 maps (x, y) -> (x', y') = (y, W-1-x) for the new image.
+        W = img.shape[1]
+        pred = np.stack([xy1[:, 1], W - 1 - xy1[:, 0]], -1)
+        good = np.linalg.norm(pred - xy2, axis=-1) < 2.0
+        assert good.mean() > 0.7, good.mean()
+
+    def test_orientation_angles_follow_rotation(self):
+        from ergo_uvo_tpu.features import surf_orientations
+
+        img = textured_image(200, 200, seed=6)
+        k = detect_surf(jnp.asarray(img), max_keypoints=64, min_hessian=100.0)
+        th = np.asarray(surf_orientations(jnp.asarray(img), k))
+        assert np.isfinite(th[np.asarray(k.mask)]).all()
+        assert (np.abs(th) <= np.pi + 1e-6).all()
+
+
 class TestORB:
     def test_corner_detection_and_repeatability(self):
         img = textured_image()

@@ -59,3 +59,54 @@ class TestProfiling:
         fps = c.tick()
         assert fps > 0
         assert c.total_frames == 2
+
+
+class TestNanGuard:
+    def test_assert_finite_passes_and_raises(self):
+        import jax.numpy as jnp
+        import pytest
+
+        from ergo_uvo_tpu.utils import assert_finite
+
+        assert_finite({"a": jnp.ones(3), "b": jnp.zeros((2, 2))})
+        with pytest.raises(FloatingPointError):
+            assert_finite({"a": jnp.asarray([1.0, jnp.nan])})
+
+    def test_nan_guard_catches_nan(self):
+        import jax
+        import jax.numpy as jnp
+        import pytest
+
+        from ergo_uvo_tpu.utils import nan_guard
+
+        @jax.jit
+        def bad(x):
+            return jnp.log(x)  # log(-1) -> NaN
+
+        with nan_guard():
+            with pytest.raises(FloatingPointError):
+                jax.block_until_ready(bad(jnp.asarray([-1.0])))
+        # guard restored: no raise outside
+        jax.block_until_ready(bad(jnp.asarray([-1.0])))
+
+    def test_mono_outputs_finite_under_guard(self):
+        """The full mono step keeps all published outputs finite."""
+        import jax
+        import jax.numpy as jnp
+
+        from ergo_uvo_tpu.config import MonoVOConfig, SurfConfig
+        from ergo_uvo_tpu.io import make_mono_sequence
+        from ergo_uvo_tpu.pipeline import run_mono_vo
+        from ergo_uvo_tpu.utils import assert_finite
+
+        cfg = MonoVOConfig(
+            surf=SurfConfig(min_hessian=80.0, n_octaves=2),
+            max_keypoints=128, num_hypotheses=64,
+        )
+        seq = make_mono_sequence(n_frames=4, height=128, width=160, seed=3)
+        _, outs = run_mono_vo(
+            jnp.asarray(seq.imgs_left), jnp.asarray(seq.timestamps),
+            jnp.asarray(seq.ranges), jnp.asarray(seq.K), cfg,
+            jax.random.PRNGKey(0),
+        )
+        assert_finite(outs._asdict(), "mono outputs")
