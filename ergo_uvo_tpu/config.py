@@ -98,7 +98,24 @@ class MonoVOConfig:
     # --- TPU-native shape statics (no reference analogue; SURVEY.md §7.1) ---
     max_keypoints: int = 512  # fixed keypoint budget per frame (MAX_KPTS)
     num_hypotheses: int = 512  # batched RANSAC hypothesis count
-    descriptor_dim: int = 64  # SURF 64-d (extended=False)
+    # Alternate-detector knobs (the reference hardcodes these in
+    # detect_features: ORB FAST threshold, SIFT(…, 3, 0.03, 10, 1.6) —
+    # VO_utility.cpp:96-104); exposed as statics for tuning.
+    orb_threshold: float = 20.0
+    sift_contrast_threshold: float = 0.03
+    sift_edge_threshold: float = 10.0
+
+
+    @property
+    def descriptor_dim(self) -> int:
+        """Descriptor width, derived from the detector configuration:
+        SURF 64 (128 extended), SIFT 128, ORB 256 ({0,1} bit vector)."""
+        name = self.feature_detector.upper()
+        if name == "ORB":
+            return 256
+        if name == "SIFT":
+            return 128
+        return 128 if self.surf.extended else 64
 
 
 @dataclass(frozen=True)
@@ -126,7 +143,24 @@ class StereoVOConfig:
 
     max_keypoints: int = 512
     num_hypotheses: int = 512
-    descriptor_dim: int = 64
+    # Alternate-detector knobs (the reference hardcodes these in
+    # detect_features: ORB FAST threshold, SIFT(…, 3, 0.03, 10, 1.6) —
+    # VO_utility.cpp:96-104); exposed as statics for tuning.
+    orb_threshold: float = 20.0
+    sift_contrast_threshold: float = 0.03
+    sift_edge_threshold: float = 10.0
+
+
+    @property
+    def descriptor_dim(self) -> int:
+        """Descriptor width, derived from the detector configuration:
+        SURF 64 (128 extended), SIFT 128, ORB 256 ({0,1} bit vector)."""
+        name = self.feature_detector.upper()
+        if name == "ORB":
+            return 256
+        if name == "SIFT":
+            return 128
+        return 128 if self.surf.extended else 64
 
 
 @dataclass(frozen=True)

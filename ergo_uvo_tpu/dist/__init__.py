@@ -27,4 +27,7 @@ from ergo_uvo_tpu.dist.sharded_ba import (  # noqa: F401
     make_sharded_ba_step,
     sharded_ba_solve,
 )
-from ergo_uvo_tpu.dist.data_parallel import run_mono_vo_batch  # noqa: F401
+from ergo_uvo_tpu.dist.data_parallel import (  # noqa: F401
+    run_mono_vo_batch,
+    shard_frame_batches,
+)

@@ -17,6 +17,31 @@ from ergo_uvo_tpu.config import MonoVOConfig
 from ergo_uvo_tpu.pipeline.mono import run_mono_vo
 
 
+def shard_frame_batches(source, mesh: Mesh, batch_size: int, axis_name: str = "data"):
+    """Multi-host sharded ingestion (SURVEY.md §2.3 "host data pipeline").
+
+    Iterates a :class:`ergo_uvo_tpu.io.sequence.FrameSource` and yields
+    device-placed frame batches with the batch axis sharded over the mesh:
+    each host decodes on CPU threads (the native prefetch ring inside the
+    source) and `jax.device_put` scatters shards to its local devices; under
+    `jax.distributed` each process feeds only its addressable shard.  The
+    yielded arrays are ready inputs for `run_mono_vo_batch`-style consumers.
+    """
+    n = mesh.devices.size
+    assert batch_size % n == 0, (batch_size, n)
+    sh_b = NamedSharding(mesh, P(axis_name, None, None))
+    sh_v = NamedSharding(mesh, P(axis_name))
+    for batch in source.batches(batch_size):
+        imgs = jax.device_put(jnp.asarray(batch.imgs), sh_b)
+        tss = jax.device_put(jnp.asarray(batch.timestamps), sh_v)
+        rgs = (
+            jax.device_put(jnp.asarray(batch.ranges), sh_v)
+            if batch.ranges is not None
+            else None
+        )
+        yield imgs, tss, rgs
+
+
 def run_mono_vo_batch(
     mesh: Mesh,
     imgs: jax.Array,  # (B, T, H, W) — B independent streams

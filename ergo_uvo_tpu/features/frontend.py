@@ -23,6 +23,9 @@ def detect_and_describe(
     surf: SurfConfig = SurfConfig(),
     max_keypoints: int = 512,
     feature_detector: str = "SURF",
+    orb_threshold: float = 20.0,
+    sift_contrast_threshold: float = 0.03,
+    sift_edge_threshold: float = 10.0,
 ) -> tuple[Keypoints, jax.Array]:
     """(Keypoints, descriptors) for a preprocessed gray frame.
 
@@ -36,14 +39,24 @@ def detect_and_describe(
     if name == "ORB":
         from ergo_uvo_tpu.features.orb import describe_orb, detect_orb
 
-        kpts = detect_orb(img, max_keypoints=max_keypoints)
+        kpts = detect_orb(img, max_keypoints=max_keypoints, threshold=orb_threshold)
         kpts = jax.lax.optimization_barrier(kpts)
         desc = describe_orb(img, kpts)
         return kpts, desc
+    if name == "SIFT":
+        from ergo_uvo_tpu.features.sift import detect_and_describe_sift
+
+        return detect_and_describe_sift(
+            img,
+            max_keypoints=max_keypoints,
+            contrast_thresh=sift_contrast_threshold,
+            edge_thresh=sift_edge_threshold,
+        )
     if name != "SURF":
         raise NotImplementedError(
-            f"feature_detector={feature_detector!r}: SURF (default) and ORB "
-            "are implemented natively"
+            f"feature_detector={feature_detector!r}: SURF (default), ORB and "
+            "SIFT are implemented natively (AKAZE is not — the reference "
+            "configs never select it)"
         )
     kpts = detect_surf(
         img,

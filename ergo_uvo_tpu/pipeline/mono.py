@@ -99,7 +99,8 @@ def mono_vo_step(
 ):
     """One frame of mono VO.  Returns (next_state, MonoFrameOutput)."""
     kpts, desc = detect_and_describe(
-        img, cfg.surf, cfg.max_keypoints, cfg.feature_detector
+        img, cfg.surf, cfg.max_keypoints, cfg.feature_detector,
+        cfg.orb_threshold, cfg.sift_contrast_threshold, cfg.sift_edge_threshold,
     )
     n_features = kpts.count
     enough_features = n_features >= cfg.min_num_features

@@ -100,6 +100,27 @@ class TestWindowShardedBA:
         assert costs[-1] < max(0.05 * costs[0], 1.5 * noise_floor), costs[[0, -1]]
 
 
+class TestShardedIngestion:
+    def test_shard_frame_batches(self, mesh):
+        from ergo_uvo_tpu.dist import shard_frame_batches
+        from ergo_uvo_tpu.io.sequence import ArraySource
+
+        rng = np.random.default_rng(0)
+        imgs = rng.uniform(0, 255, (16, 32, 48)).astype(np.float32)
+        src = ArraySource(imgs, np.arange(16, dtype=np.float32),
+                          ranges=np.ones(16, np.float32))
+        seen = 0
+        for imgs_d, tss_d, rgs_d in shard_frame_batches(src, mesh, 8):
+            assert imgs_d.shape == (8, 32, 48)
+            # batch axis really sharded over the 8 devices
+            assert len(imgs_d.sharding.device_set) == 8
+            np.testing.assert_allclose(
+                np.asarray(imgs_d), imgs[seen : seen + 8]
+            )
+            seen += 8
+        assert seen == 16
+
+
 class TestDataParallelVO:
     def test_batch_runs_sharded(self, mesh):
         from ergo_uvo_tpu.config import MonoVOConfig, SurfConfig

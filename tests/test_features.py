@@ -141,6 +141,58 @@ class TestDescriptor:
         assert good.mean() > 0.8, good.mean()
 
 
+class TestSIFT:
+    def test_blob_detection_and_matchability(self):
+        from ergo_uvo_tpu.features.sift import detect_and_describe_sift
+
+        img = textured_image(240, 320, seed=8)
+        shifted = np.roll(img, (0, 6), axis=(0, 1))
+        k1, d1 = detect_and_describe_sift(jnp.asarray(img), max_keypoints=192)
+        k2, d2 = detect_and_describe_sift(jnp.asarray(shifted), max_keypoints=192)
+        assert d1.shape == (192, 128)
+        assert int(k1.count) > 20, int(k1.count)
+        m = match_descriptors(d1, k1.mask, d2, k2.mask, ratio=0.8)
+        ok = np.asarray(m.mask)
+        assert ok.sum() > 15, ok.sum()
+        xy1 = np.asarray(k1.xy)[ok]
+        xy2 = np.asarray(k2.xy)[np.asarray(m.idx)[ok]]
+        dx = xy2[:, 0] - xy1[:, 0]
+        good = (np.abs(dx - 6) < 1.5) & (np.abs(xy2[:, 1] - xy1[:, 1]) < 1.5)
+        assert good.mean() > 0.7, good.mean()
+
+    def test_rotation_invariance_90deg(self):
+        from ergo_uvo_tpu.features.sift import detect_and_describe_sift
+
+        img = textured_image(240, 240, seed=9)
+        rot = np.rot90(img).copy()
+        k1, d1 = detect_and_describe_sift(jnp.asarray(img), max_keypoints=128)
+        k2, d2 = detect_and_describe_sift(jnp.asarray(rot), max_keypoints=128)
+        m = match_descriptors(d1, k1.mask, d2, k2.mask, ratio=0.8)
+        ok = np.asarray(m.mask)
+        assert ok.sum() > 10, ok.sum()
+        xy1 = np.asarray(k1.xy)[ok]
+        xy2 = np.asarray(k2.xy)[np.asarray(m.idx)[ok]]
+        W = img.shape[1]
+        pred = np.stack([xy1[:, 1], W - 1 - xy1[:, 0]], -1)
+        good = np.linalg.norm(pred - xy2, axis=-1) < 2.5
+        assert good.mean() > 0.6, good.mean()
+
+    def test_descriptor_norm_and_mask(self):
+        from ergo_uvo_tpu.features.sift import detect_and_describe_sift
+
+        img = jnp.asarray(textured_image())
+        k, d = detect_and_describe_sift(img, max_keypoints=96)
+        n = np.linalg.norm(np.asarray(d), axis=-1)
+        m = np.asarray(k.mask)
+        np.testing.assert_allclose(n[m], 1.0, atol=1e-4)
+        assert (n[~m] == 0).all()
+
+    def test_frontend_dispatch(self):
+        img = jnp.asarray(textured_image())
+        k, d = detect_and_describe(img, max_keypoints=64, feature_detector="SIFT")
+        assert d.shape == (64, 128)
+
+
 class TestOrientedSurf:
     def test_rotation_invariance_90deg(self):
         """Oriented descriptors of the same physical points match across a

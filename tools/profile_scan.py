@@ -116,6 +116,44 @@ def main():
         "match 512x512 in-scan",
     )
 
+    # full preprocess with a real plan (shift remap + CLAHE cells)
+    from ergo_uvo_tpu.image import build_preprocess_plan, preprocess_frame
+
+    Kc = np.array([[600.0, 0, 320], [0, 600, 240], [0, 0, 1.0]])
+    plan = build_preprocess_plan(
+        Kc, np.array([-0.05, 0.01, 0.0, 0.0]), w, h, 640, True, 3.0
+    )
+
+    def preprocess_step():
+        def step(c, _):
+            return preprocess_frame(plan, c) * 0.999 + 0.1, None
+        return step
+
+    bench_scan(preprocess_step, img0, "preprocess_frame (plan) in-scan")
+
+    # relative pose estimation with the GN polish
+    from ergo_uvo_tpu.config import MonoVOConfig
+    from ergo_uvo_tpu.estimation.relative_pose import estimate_relative_pose
+
+    cfg = MonoVOConfig(max_keypoints=512, num_hypotheses=512)
+    rngl = np.random.default_rng(1)
+    xy1 = jnp.asarray(rngl.uniform(50, 400, (512, 2)).astype(np.float32))
+    xy2 = xy1 + jnp.asarray(rngl.normal(5, 2, (512, 2)).astype(np.float32))
+    maskm = jnp.ones(512, bool)
+    Kj = jnp.asarray(Kc, jnp.float32)
+
+    def est_step():
+        key0 = jax.random.PRNGKey(0)
+
+        def step(c, _):
+            pose = estimate_relative_pose(
+                key0, c, xy2, maskm, Kj, cfg, jnp.eye(3), jnp.zeros(3)
+            )
+            return c + pose.t[None, :2] * 1e-6, None
+        return step
+
+    bench_scan(est_step, xy1, "estimate_relative_pose in-scan")
+
 
 if __name__ == "__main__":
     main()
