@@ -54,6 +54,15 @@ def _load_frames(args, gray=True):
     return _load_frames_dir(args.frames, gray)
 
 
+def _parse_size(spec):
+    """'640x480' -> (640, 480)."""
+    try:
+        w, h = (int(v) for v in spec.lower().split("x"))
+        return w, h
+    except ValueError:
+        raise SystemExit(f"--synthetic-size must be WxH, got {spec!r}")
+
+
 def _run_mono(args):
     import jax
     import jax.numpy as jnp
@@ -72,7 +81,8 @@ def _run_mono(args):
     )
 
     if args.synthetic:
-        seq = make_mono_sequence(n_frames=args.synthetic, height=480, width=640)
+        w_s, h_s = _parse_size(args.synthetic_size)
+        seq = make_mono_sequence(n_frames=args.synthetic, height=h_s, width=w_s)
         imgs, tss, rgs, K = seq.imgs_left, seq.timestamps, seq.ranges, seq.K
         gt_positions = seq.positions
         state, outs = run_mono_vo(
@@ -105,7 +115,11 @@ def _run_mono(args):
             cfg.preprocessing.clahe, cfg.preprocessing.clip_limit,
         )
         K = np.asarray(plan.new_K)
-        rgs = np.loadtxt(args.ranges).astype(np.float32)
+        rgs = np.atleast_1d(np.loadtxt(args.ranges).astype(np.float32))
+        if len(rgs) < len(paths):
+            raise SystemExit(
+                f"--ranges has {len(rgs)} entries for {len(paths)} frames"
+            )
         tss = np.arange(len(paths), dtype=np.float32) / cfg.node_freq
         gt_positions = None
         if args.ba_window or args.loop_closure:
@@ -119,14 +133,24 @@ def _run_mono(args):
                 jnp.asarray(K), cfg, jax.random.PRNGKey(args.seed),
             )
         else:
-            source = JpegDirectorySource(paths, timestamps=tss, ranges=rgs)
-            chunk = max(min(args.chunk_size, len(paths)), 1)
+            # Pad the path list to a chunk multiple (repeating the final
+            # frame) so the fixed-shape streaming loop processes EVERY real
+            # frame — JpegDirectorySource drops a trailing partial batch
+            # (io/sequence.py) — then trim outputs back to the true length.
+            n_real = len(paths)
+            chunk = max(min(args.chunk_size, n_real), 1)
+            pad = (-n_real) % chunk
+            paths_p = paths + [paths[-1]] * pad
+            tss_p = np.concatenate([tss, np.full(pad, tss[-1], np.float32)])
+            rgs_p = np.concatenate([rgs[:n_real],
+                                    np.full(pad, rgs[n_real - 1], np.float32)])
+            source = JpegDirectorySource(paths_p, timestamps=tss_p, ranges=rgs_p)
             state, outs = run_mono_vo_streaming(
                 source, plan, jnp.asarray(K), cfg, jax.random.PRNGKey(args.seed),
                 chunk_size=chunk,
             )
-            n_done = len(outs.published)
-            imgs, tss, rgs = np.zeros((n_done,)), tss[:n_done], rgs[:n_done]
+            outs = jax.tree.map(lambda v: v[:n_real], outs)
+            imgs, tss, rgs = np.zeros((n_real,)), tss[:n_real], rgs[:n_real]
     outs = jax.tree.map(np.asarray, outs)
 
     rec = RunRecorder(args.out)
@@ -148,26 +172,33 @@ def _run_mono(args):
     }
 
     # ---- optional window-BA refinement (BASELINE configs[2]).
+    ba_res = None
     if args.ba_window:
         from ergo_uvo_tpu.optim import refine_mono_trajectory
 
-        res = refine_mono_trajectory(
+        ba_res = refine_mono_trajectory(
             np.asarray(imgs), tss, outs, K, cfg,
             window_size=args.ba_window, keyframe_stride=args.keyframe_stride,
             ba_iters=args.ba_iters,
         )
-        pos = res.positions
-        summary["ba_keyframes"] = int(len(res.kf_indices))
-        summary["ba_solves"] = int(res.costs.shape[0])
-        summary["ba_iters_per_s"] = round(res.ba_iters_per_s, 2)
+        pos = ba_res.positions
+        summary["ba_keyframes"] = int(len(ba_res.kf_indices))
+        summary["ba_solves"] = int(ba_res.costs.shape[0])
+        summary["ba_iters_per_s"] = round(ba_res.ba_iters_per_s, 2)
 
-    # ---- optional loop closure + pose graph (BASELINE configs[3]).
+    # ---- optional loop closure + pose graph (BASELINE configs[3]).  When
+    # combined with --ba-window the pose graph starts from the BA-refined
+    # per-frame poses (its odometry edges), so the two stages compose instead
+    # of loop closure discarding the BA result.
     if args.loop_closure:
         from ergo_uvo_tpu.optim import close_loops_and_optimize, integrate_mono_poses
 
-        R_wc, t_wc, _ = integrate_mono_poses(
-            outs.velocity, outs.R, tss, outs.published
-        )
+        if ba_res is not None:
+            R_wc, t_wc = ba_res.R_wc, ba_res.t_wc
+        else:
+            R_wc, t_wc, _ = integrate_mono_poses(
+                outs.velocity, outs.R, tss, outs.published
+            )
         pg = close_loops_and_optimize(
             np.asarray(imgs), R_wc, t_wc, np.asarray(rgs), K, cfg,
             key=jax.random.PRNGKey(args.seed + 1),
@@ -202,7 +233,8 @@ def _run_stereo(args):
     )
     gt_positions = None
     if args.synthetic:
-        seq = make_stereo_sequence(n_frames=args.synthetic, height=480, width=640)
+        w_s, h_s = _parse_size(args.synthetic_size)
+        seq = make_stereo_sequence(n_frames=args.synthetic, height=h_s, width=w_s)
         imgs_l, imgs_r, tss = seq.imgs_left, seq.imgs_right, seq.timestamps
         gt_positions = seq.positions
         rig = StereoRig(
@@ -287,6 +319,8 @@ def main(argv=None):
         sp.add_argument("--ranges", help="text file of per-frame range readings")
         sp.add_argument("--synthetic", type=int, default=0,
                         help="run on an N-frame synthetic sequence instead")
+        sp.add_argument("--synthetic-size", default="640x480",
+                        help="synthetic frame size as WxH (default 640x480)")
         sp.add_argument("--out", default="run.jsonl")
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--ba-window", type=int, default=0,

@@ -62,6 +62,18 @@ class SurfConfig:
 
 
 @dataclass(frozen=True)
+class AkazeConfig:
+    """AKAZE knobs — the reference uses ``cv::AKAZE::create()`` stock
+    defaults (VO_utility.cpp:93-98), reproduced here; tunable via our
+    ``tpu_params.akaze_*`` YAML extension."""
+
+    threshold: float = 1e-3
+    n_octaves: int = 4
+    n_sublevels: int = 4
+    upright: bool = False
+
+
+@dataclass(frozen=True)
 class RansacConfig:
     """One outlier-rejection block (essential_* / homography_* / PnP params)."""
 
@@ -78,6 +90,7 @@ class MonoVOConfig:
     node_freq: float = 20.0
     preprocessing: PreprocessingConfig = PreprocessingConfig()
     surf: SurfConfig = SurfConfig()
+    akaze: AkazeConfig = AkazeConfig()
     visualization: VisualizationConfig = VisualizationConfig()
 
     distance: float = 10.0  # parallax px threshold (select_estimation_method)
@@ -109,10 +122,13 @@ class MonoVOConfig:
     @property
     def descriptor_dim(self) -> int:
         """Descriptor width, derived from the detector configuration:
-        SURF 64 (128 extended), SIFT 128, ORB 256 ({0,1} bit vector)."""
+        SURF 64 (128 extended), SIFT 128, ORB 256, AKAZE 512 (486 M-LDB
+        bits zero-padded; binary detectors carry {0,1} bit vectors)."""
         name = self.feature_detector.upper()
         if name == "ORB":
             return 256
+        if name == "AKAZE":
+            return 512
         if name == "SIFT":
             return 128
         return 128 if self.surf.extended else 64
@@ -125,6 +141,7 @@ class StereoVOConfig:
     node_freq: float = 20.0
     preprocessing: PreprocessingConfig = PreprocessingConfig(640, True, 8.0)
     surf: SurfConfig = SurfConfig(min_hessian=1500.0)
+    akaze: AkazeConfig = AkazeConfig()
     visualization: VisualizationConfig = VisualizationConfig()
 
     feature_detector: str = "SURF"
@@ -154,10 +171,13 @@ class StereoVOConfig:
     @property
     def descriptor_dim(self) -> int:
         """Descriptor width, derived from the detector configuration:
-        SURF 64 (128 extended), SIFT 128, ORB 256 ({0,1} bit vector)."""
+        SURF 64 (128 extended), SIFT 128, ORB 256, AKAZE 512 (486 M-LDB
+        bits zero-padded; binary detectors carry {0,1} bit vectors)."""
         name = self.feature_detector.upper()
         if name == "ORB":
             return 256
+        if name == "AKAZE":
+            return 512
         if name == "SIFT":
             return 128
         return 128 if self.surf.extended else 64
@@ -225,6 +245,9 @@ def load_vo_params(path: str, stereo: bool = False):
     surf = raw.get("surf_params", {})
     vo = raw.get("vo_params", {})
     viz = raw.get("visualization", {})
+    # Our extension block (absent from the reference YAMLs, which therefore
+    # load unchanged): TPU shape statics + alternate-detector knobs.
+    tpu = raw.get("tpu_params", {})
     viz_cfg = VisualizationConfig(
         fps=float(_get(viz, "fps", 25.0)),
         show_match=bool(_get(viz, "show_match", False)),
@@ -241,11 +264,18 @@ def load_vo_params(path: str, stereo: bool = False):
         extended=bool(_get(surf, "extended", False)),
         upright=bool(_get(surf, "upright", True)),
     )
+    akaze_cfg = AkazeConfig(
+        threshold=float(_get(tpu, "akaze_threshold", 1e-3)),
+        n_octaves=int(_get(tpu, "akaze_n_octaves", 4)),
+        n_sublevels=int(_get(tpu, "akaze_n_sublevels", 4)),
+        upright=bool(_get(tpu, "akaze_upright", False)),
+    )
     if stereo:
         return StereoVOConfig(
             node_freq=float(_get(raw, "node_freq", 20)),
             preprocessing=preprocessing,
             surf=surf_cfg,
+            akaze=akaze_cfg,
             visualization=viz_cfg,
             feature_detector=str(_get(vo, "feature_detector", "SURF")),
             lowe_ratio_test=float(_get(vo, "lowe_ratio_test", 0.8)),
@@ -258,11 +288,19 @@ def load_vo_params(path: str, stereo: bool = False):
             confidence=float(_get(vo, "confidence", 0.99)),
             use_extrinsic_guess=bool(_get(vo, "use_extrinsic_guess", False)),
             pnp_method_flag=int(_get(vo, "pnp_method_flag", PNP_EPNP)),
+            max_keypoints=int(_get(tpu, "max_keypoints", 512)),
+            num_hypotheses=int(_get(tpu, "num_hypotheses", 512)),
+            orb_threshold=float(_get(tpu, "orb_threshold", 20.0)),
+            sift_contrast_threshold=float(
+                _get(tpu, "sift_contrast_threshold", 0.03)
+            ),
+            sift_edge_threshold=float(_get(tpu, "sift_edge_threshold", 10.0)),
         )
     return MonoVOConfig(
         node_freq=float(_get(raw, "node_freq", 20)),
         preprocessing=preprocessing,
         surf=surf_cfg,
+        akaze=akaze_cfg,
         visualization=viz_cfg,
         distance=float(_get(vo, "distance", 10.0)),
         feature_detector=str(_get(vo, "feature_detector", "SURF")),
@@ -285,6 +323,13 @@ def load_vo_params(path: str, stereo: bool = False):
         min_num_features=int(float(_get(vo, "min_num_features", 20))),
         min_num_inliers=int(float(_get(vo, "min_num_inliers", 10))),
         min_num_3d_points=int(float(_get(vo, "min_num_3Dpoints", 5))),
+        max_keypoints=int(_get(tpu, "max_keypoints", 512)),
+        num_hypotheses=int(_get(tpu, "num_hypotheses", 512)),
+        orb_threshold=float(_get(tpu, "orb_threshold", 20.0)),
+        sift_contrast_threshold=float(
+            _get(tpu, "sift_contrast_threshold", 0.03)
+        ),
+        sift_edge_threshold=float(_get(tpu, "sift_edge_threshold", 10.0)),
     )
 
 

@@ -29,3 +29,8 @@ from ergo_uvo_tpu.features.matcher import (  # noqa: F401
     match_and_gather,
 )
 from ergo_uvo_tpu.features.frontend import detect_and_describe  # noqa: F401
+from ergo_uvo_tpu.features.akaze import (  # noqa: F401
+    detect_akaze,
+    describe_akaze,
+    detect_and_describe_akaze,
+)

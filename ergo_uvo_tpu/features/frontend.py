@@ -2,18 +2,18 @@
 
 The TPU-shaped equivalent of the reference's ``detect_features``
 (VO_utility.cpp:91-126): one call yields a fixed-K keypoint set and aligned
-descriptors.  Only the SURF family is implemented natively (it is the
-reference's configured default for both mono and stereo —
-mono_VO_parameters.yaml:15, stereo_VO_parameters.yaml:21); requesting another
-detector raises, mirroring the reference's unknown-detector error path
-(VO_utility.cpp:120-124).
+descriptors.  All four of the reference's dispatch branches are implemented
+natively — AKAZE (M-LDB binary), ORB (steered BRIEF binary), SIFT, and SURF
+(the configured default for both mono and stereo —
+mono_VO_parameters.yaml:15, stereo_VO_parameters.yaml:21).  An unknown name
+raises, mirroring the reference's error path (VO_utility.cpp:120-124).
 """
 
 from __future__ import annotations
 
 import jax
 
-from ergo_uvo_tpu.config import SurfConfig
+from ergo_uvo_tpu.config import AkazeConfig, SurfConfig
 from ergo_uvo_tpu.features.descriptor import describe_surf
 from ergo_uvo_tpu.features.detector import Keypoints, detect_surf
 
@@ -26,14 +26,14 @@ def detect_and_describe(
     orb_threshold: float = 20.0,
     sift_contrast_threshold: float = 0.03,
     sift_edge_threshold: float = 10.0,
+    akaze: AkazeConfig = AkazeConfig(),
 ) -> tuple[Keypoints, jax.Array]:
     """(Keypoints, descriptors) for a preprocessed gray frame.
 
     Dispatches on `feature_detector` like the reference's ``detect_features``
-    (VO_utility.cpp:91-126): SURF (the configured default, 64/128-d float)
-    and ORB (256-bit binary as {0,1} float vectors; match with
-    ``binary=True``).  AKAZE/SIFT raise, mirroring the reference's
-    unknown-detector error path (:120-124).
+    (VO_utility.cpp:91-126): SURF (64/128-d float), SIFT (128-d float), ORB
+    (256-bit) and AKAZE (486->512-bit M-LDB) — the binary two return {0,1}
+    float bit vectors; match with ``binary=True``.
     """
     name = feature_detector.upper()
     if name == "ORB":
@@ -43,6 +43,17 @@ def detect_and_describe(
         kpts = jax.lax.optimization_barrier(kpts)
         desc = describe_orb(img, kpts)
         return kpts, desc
+    if name == "AKAZE":
+        from ergo_uvo_tpu.features.akaze import detect_and_describe_akaze
+
+        return detect_and_describe_akaze(
+            img,
+            max_keypoints=max_keypoints,
+            threshold=akaze.threshold,
+            n_octaves=akaze.n_octaves,
+            n_sublevels=akaze.n_sublevels,
+            upright=akaze.upright,
+        )
     if name == "SIFT":
         from ergo_uvo_tpu.features.sift import detect_and_describe_sift
 
@@ -54,9 +65,8 @@ def detect_and_describe(
         )
     if name != "SURF":
         raise NotImplementedError(
-            f"feature_detector={feature_detector!r}: SURF (default), ORB and "
-            "SIFT are implemented natively (AKAZE is not — the reference "
-            "configs never select it)"
+            f"feature_detector={feature_detector!r}: the reference dispatch "
+            "implements AKAZE, ORB, SIFT and SURF (VO_utility.cpp:91-126)"
         )
     kpts = detect_surf(
         img,

@@ -45,6 +45,7 @@ def build_ba_problem(
     min_track_length: int = 2,
     num_fixed_poses: int = 2,
     obs_gate_px: float = 6.0,
+    binary: bool = False,
 ):
     """Associate window features to anchor landmarks and build a BAProblem.
 
@@ -65,7 +66,8 @@ def build_ba_problem(
         # Pallas kernel's block specs don't support; the batched matmul path
         # is the right shape here anyway.
         m = match_descriptors(
-            anchor_desc, anchor_mask, desc_p, mask_p, lowe_ratio, impl="xla"
+            anchor_desc, anchor_mask, desc_p, mask_p, lowe_ratio, impl="xla",
+            binary=binary,
         )
         uv = jnp.take(xy_p, m.idx, axis=0)
         return jnp.where(m.mask[:, None], uv, 0.0), m.mask
@@ -121,7 +123,10 @@ class WindowedBA:
         self.window_size = window_size
         self.iters = iters
         self._frames: list = []
-        self._refine_fn = None  # jitted (build problem + solve), one program
+        # Jitted (build problem + solve) programs, keyed by the trace-time
+        # constants baked into the closure so later calls with different
+        # matcher settings don't silently reuse a stale program.
+        self._refine_fns: dict = {}
 
     def push_keyframe(self, xy, desc, kp_mask, R_wc, t_wc):
         self._frames.append((xy, desc, kp_mask, R_wc, t_wc))
@@ -136,24 +141,28 @@ class WindowedBA:
         xy, desc, mask, R, t = (jnp.stack(v) for v in zip(*self._frames))
         return KeyframeWindow(xy=xy, desc=desc, kp_mask=mask, R=R, t=t)
 
-    def refine(self, K_cam: jax.Array, lowe_ratio: float = 0.8):
+    def refine(self, K_cam: jax.Array, lowe_ratio: float = 0.8,
+               binary: bool = False):
         """Run window BA; returns (BAState, costs, lm_mask).
 
-        Association + solve compile into ONE XLA program (cached on first
-        use) — per-call dispatch overhead would otherwise dominate the small
-        window solve.
+        Association + solve compile into ONE XLA program (cached per
+        (lowe_ratio, binary) on first use) — per-call dispatch overhead would
+        otherwise dominate the small window solve.
         """
         w = self.window()
-        if self._refine_fn is None:
+        cache_key = (float(lowe_ratio), bool(binary))
+        if cache_key not in self._refine_fns:
 
             @jax.jit
             def _refine(w, K_cam):
-                problem, X0, lm_mask = build_ba_problem(w, K_cam, lowe_ratio)
+                problem, X0, lm_mask = build_ba_problem(
+                    w, K_cam, lowe_ratio, binary=binary
+                )
                 state, costs = ba_solve(problem, w.R, w.t, X0, iters=self.iters)
                 return state, costs, lm_mask
 
-            self._refine_fn = _refine
-        state, costs, lm_mask = self._refine_fn(w, K_cam)
+            self._refine_fns[cache_key] = _refine
+        state, costs, lm_mask = self._refine_fns[cache_key](w, K_cam)
         # Write refined poses back into the window.
         self._frames = [
             (f[0], f[1], f[2], state.R[i], state.t[i])

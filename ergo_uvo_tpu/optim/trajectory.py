@@ -84,6 +84,8 @@ class BATrajectoryResult(NamedTuple):
     kf_positions: np.ndarray  # (Nk, 3) refined keyframe centers
     costs: np.ndarray  # (num_solves, iters) BA cost curves
     ba_iters_per_s: float  # measured LM iterations/s (excl. compile)
+    R_wc: np.ndarray  # (T, 3, 3) BA-corrected world->cam rotations
+    t_wc: np.ndarray  # (T, 3) BA-corrected world->cam translations
 
 
 def refine_mono_trajectory(
@@ -112,9 +114,14 @@ def refine_mono_trajectory(
     R_wc, t_wc, _ = integrate_mono_poses(velocities, rots, timestamps, published)
 
     kf_idx = np.flatnonzero(published)[::keyframe_stride]
+    binary = cfg.feature_detector.upper() in ("ORB", "AKAZE")
     det = jax.jit(
         lambda im: detect_and_describe(
-            im, cfg.surf, cfg.max_keypoints, cfg.feature_detector
+            im, cfg.surf, cfg.max_keypoints, cfg.feature_detector,
+            orb_threshold=cfg.orb_threshold,
+            sift_contrast_threshold=cfg.sift_contrast_threshold,
+            sift_edge_threshold=cfg.sift_edge_threshold,
+            akaze=cfg.akaze,
         )
     )
     K_dev = jnp.asarray(K, jnp.float32)
@@ -143,7 +150,7 @@ def refine_mono_trajectory(
         refined[int(k)] = (np.asarray(R_init), np.asarray(t_init))
         if wba.full:
             t0 = time.perf_counter()
-            state, cost_curve, _ = wba.refine(K_dev, lowe_ratio)
+            state, cost_curve, _ = wba.refine(K_dev, lowe_ratio, binary=binary)
             jax.block_until_ready(cost_curve)
             dt_solve = time.perf_counter() - t0
             # First solve pays compile; count only steady-state solves.
@@ -159,6 +166,8 @@ def refine_mono_trajectory(
     # motion from the nearest earlier keyframe onto its refined pose.
     n = len(timestamps)
     positions = np.zeros((n, 3))
+    R_out = np.zeros((n, 3, 3))
+    t_out = np.zeros((n, 3))
     kf_sorted = np.asarray(sorted(refined))
     for f in range(n):
         earlier = kf_sorted[kf_sorted <= f]
@@ -169,6 +178,7 @@ def refine_mono_trajectory(
             R_r, t_r = _rel(R_wc[j], t_wc[j], R_wc[f], t_wc[f])
             R_f, t_f = _compose(R_r, t_r, *refined[j])
         positions[f] = -R_f.T @ t_f
+        R_out[f], t_out[f] = R_f, t_f
     kf_positions = np.stack(
         [-refined[int(k)][0].T @ refined[int(k)][1] for k in kf_idx]
     )
@@ -181,6 +191,8 @@ def refine_mono_trajectory(
         kf_positions=kf_positions,
         costs=np.stack(costs) if costs else np.zeros((0, ba_iters)),
         ba_iters_per_s=iters_per_s,
+        R_wc=R_out,
+        t_wc=t_out,
     )
 
 
@@ -200,15 +212,19 @@ def verify_loop_candidate(
     range_i,
     lowe_ratio: float = 0.8,
     min_inliers: int = 20,
+    binary: bool = False,
 ):
     """Geometric verification of a retrieval candidate pair (i, j).
 
     Reuses the mono estimation stack end-to-end: match -> essential/homography
     RANSAC -> triangulate -> metric scale from the range measurement at i
     (``compute_scale_factor`` semantics, VO_utility.cpp:23-38).  Returns
-    (ok, R_rel, t_rel_metric, n_inliers) as device arrays.
+    (ok, R_rel, t_rel_metric, n_inliers) as device arrays.  `binary` must
+    match the detector family (ORB/AKAZE) so the Lowe ratio applies to
+    Hamming distances, as in the pipelines (pipeline/mono.py).
     """
-    m = match_descriptors(desc_i, mask_i, desc_j, mask_j, lowe_ratio)
+    m = match_descriptors(desc_i, mask_i, desc_j, mask_j, lowe_ratio,
+                          binary=binary)
     xy_i = jnp.where(m.mask[:, None], xy_i, 0.0)
     xy_j = jnp.where(m.mask[:, None], jnp.take(xy_j, m.idx, axis=0), 0.0)
     pose = estimate_relative_pose(
@@ -271,9 +287,14 @@ def close_loops_and_optimize(
     t_wc = np.asarray(t_wc)
     K_dev = jnp.asarray(K, jnp.float32)
 
+    binary = cfg.feature_detector.upper() in ("ORB", "AKAZE")
     det = jax.jit(
         lambda im: detect_and_describe(
-            im, cfg.surf, cfg.max_keypoints, cfg.feature_detector
+            im, cfg.surf, cfg.max_keypoints, cfg.feature_detector,
+            orb_threshold=cfg.orb_threshold,
+            sift_contrast_threshold=cfg.sift_contrast_threshold,
+            sift_edge_threshold=cfg.sift_edge_threshold,
+            akaze=cfg.akaze,
         )
     )
     kpts_all, desc_all = [], []
@@ -292,7 +313,7 @@ def close_loops_and_optimize(
     verify = jax.jit(
         lambda key, ki_xy, ki_m, di, kj_xy, kj_m, dj, rng_i: verify_loop_candidate(
             key, ki_xy, ki_m, di, kj_xy, kj_m, dj, K_dev, cfg, rng_i,
-            min_inliers=min_inliers,
+            min_inliers=min_inliers, binary=binary,
         )
     )
 

@@ -101,6 +101,7 @@ def mono_vo_step(
     kpts, desc = detect_and_describe(
         img, cfg.surf, cfg.max_keypoints, cfg.feature_detector,
         cfg.orb_threshold, cfg.sift_contrast_threshold, cfg.sift_edge_threshold,
+        akaze=cfg.akaze,
     )
     n_features = kpts.count
     enough_features = n_features >= cfg.min_num_features

@@ -101,10 +101,12 @@ def stereo_vo_step(
     kpts_l, desc_l = detect_and_describe(
         img_l, cfg.surf, cfg.max_keypoints, cfg.feature_detector,
         cfg.orb_threshold, cfg.sift_contrast_threshold, cfg.sift_edge_threshold,
+        akaze=cfg.akaze,
     )
     kpts_r, desc_r = detect_and_describe(
         img_r, cfg.surf, cfg.max_keypoints, cfg.feature_detector,
         cfg.orb_threshold, cfg.sift_contrast_threshold, cfg.sift_edge_threshold,
+        akaze=cfg.akaze,
     )
     n_l, n_r = kpts_l.count, kpts_r.count
     detections_ok = (n_l >= cfg.min_num_features) & (n_r >= cfg.min_num_features)

@@ -19,6 +19,13 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Persistent compilation cache: the suite is dominated by XLA compiles on
+# this small CPU host; cache hits make reruns cheap.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax  # noqa: E402
 

@@ -1,0 +1,213 @@
+"""AKAZE tests: nonlinear scale space, detection geometry, M-LDB matching.
+
+Completes the reference's 4-way detector dispatch coverage
+(``cv::AKAZE::create()`` VO_utility.cpp:93-98).  cv2 ships AKAZE in core,
+so — unlike SURF — a real OpenCV cross-check is possible: keypoint
+*distributions* are compared with tolerance bands (SURVEY.md §4; bitwise
+descriptor parity is out of scope by design).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ergo_uvo_tpu.features.akaze import (
+    build_nonlinear_scale_space,
+    describe_akaze,
+    detect_akaze,
+    detect_and_describe_akaze,
+)
+from ergo_uvo_tpu.features.matcher import match_descriptors
+
+from test_features import textured_image
+
+
+@pytest.fixture(scope="module")
+def img():
+    return textured_image(h=160, w=200, n_blobs=25, seed=11)
+
+
+@pytest.fixture(scope="module")
+def detected(img):
+    fn = jax.jit(
+        lambda im: detect_and_describe_akaze(
+            im, max_keypoints=128, n_octaves=2, n_sublevels=2
+        )
+    )
+    kpts, desc = fn(jnp.asarray(img))
+    return jax.tree.map(np.asarray, (kpts, desc))
+
+
+class TestScaleSpace:
+    def test_diffusion_smooths_but_preserves_edges(self, img):
+        stacks = build_nonlinear_scale_space(
+            jnp.asarray(img), n_octaves=2, n_sublevels=2
+        )
+        assert len(stacks) == 2
+        assert stacks[0].shape == (2, 160, 200)
+        assert stacks[1].shape == (2, 80, 100)
+        l0 = np.asarray(stacks[0][0])
+        l1 = np.asarray(stacks[0][1])
+        # Total variation must fall with diffusion time (smoothing) ...
+        tv = lambda a: np.abs(np.diff(a, axis=0)).sum() + np.abs(
+            np.diff(a, axis=1)
+        ).sum()
+        assert tv(l1) < tv(l0)
+        # ... while the mean stays put (diffusion conserves mass).
+        np.testing.assert_allclose(l1.mean(), l0.mean(), rtol=1e-3)
+        assert np.isfinite(l0).all() and np.isfinite(l1).all()
+
+    def test_edge_preservation_vs_gaussian(self):
+        # A step edge diffused nonlinearly must stay sharper than the same
+        # amount of *linear* smoothing would leave it (the entire point of
+        # Perona-Malik g2).
+        img = np.zeros((64, 64), np.float32)
+        img[:, 32:] = 200.0
+        img += np.random.default_rng(0).normal(0, 2.0, img.shape)
+        stacks = build_nonlinear_scale_space(
+            jnp.asarray(img), n_octaves=1, n_sublevels=2
+        )
+        diffused = np.asarray(stacks[0][1])
+        from ergo_uvo_tpu.features.akaze import _gaussian_blur
+
+        linear = np.asarray(
+            _gaussian_blur(jnp.asarray(img, jnp.float32) / 255.0, 2.26)
+        )
+        grad_n = np.abs(np.diff(diffused, axis=1)).max()
+        grad_l = np.abs(np.diff(linear, axis=1)).max()
+        # Measured ~1.42x sharper; gate at 1.2x to stay robust to seeds.
+        assert grad_n > 1.2 * grad_l, (grad_n, grad_l)
+
+
+class TestDetect:
+    def test_finds_blobs(self, detected, img):
+        kpts, _ = detected
+        n = int(kpts.mask.sum())
+        assert n >= 20, n
+        xy = kpts.xy[kpts.mask]
+        assert (xy[:, 0] >= 0).all() and (xy[:, 0] < 200).all()
+        assert (xy[:, 1] >= 0).all() and (xy[:, 1] < 160).all()
+        assert (kpts.scale[kpts.mask] > 1.0).all()
+        assert np.isfinite(kpts.score[kpts.mask]).all()
+        # Level index (stored in `laplacian`) must be a valid evolution level.
+        lev = kpts.laplacian[kpts.mask]
+        assert ((lev >= 0) & (lev <= 3)).all()
+
+    def test_shift_equivariance(self, img):
+        """Detection on a translated image must translate the keypoints."""
+        fn = jax.jit(
+            lambda im: detect_akaze(
+                im, max_keypoints=96, n_octaves=2, n_sublevels=2
+            )[0]
+        )
+        k0 = jax.tree.map(np.asarray, fn(jnp.asarray(img)))
+        sh = np.roll(img, (0, 8), axis=(0, 1))
+        k1 = jax.tree.map(np.asarray, fn(jnp.asarray(sh)))
+        a = k0.xy[k0.mask]
+        b = k1.xy[k1.mask] - np.asarray([8.0, 0.0])
+        # Interior points only (roll wraps at the border).
+        a = a[(a[:, 0] > 16) & (a[:, 0] < 180) & (a[:, 1] > 8) & (a[:, 1] < 150)]
+        d = np.linalg.norm(a[:, None] - b[None], axis=-1).min(axis=1)
+        assert np.median(d) < 1.5, np.median(d)
+
+    def test_descriptor_is_padded_binary(self, detected):
+        kpts, desc = detected
+        assert desc.shape[1] == 512
+        vals = np.unique(desc)
+        assert set(vals.tolist()) <= {0.0, 1.0}
+        # Padding tail is all-zero; real bits vary.
+        assert (desc[:, 486:] == 0).all()
+        active = desc[kpts.mask][:, :486]
+        assert active.std() > 0.1
+
+
+class TestMatchability:
+    def test_self_and_shift_matching(self, img, detected):
+        kpts, desc = detected
+        m = match_descriptors(
+            jnp.asarray(desc), jnp.asarray(kpts.mask),
+            jnp.asarray(desc), jnp.asarray(kpts.mask),
+            ratio=0.8, binary=True,
+        )
+        m = jax.tree.map(np.asarray, m)
+        idx = np.arange(len(m.idx))
+        agree = (m.idx[m.mask] == idx[m.mask]).mean()
+        assert agree > 0.95, agree
+
+        fn = jax.jit(
+            lambda im: detect_and_describe_akaze(
+                im, max_keypoints=128, n_octaves=2, n_sublevels=2
+            )
+        )
+        sh = np.roll(img, (0, 6), axis=(0, 1))
+        k2, d2 = jax.tree.map(np.asarray, fn(jnp.asarray(sh)))
+        m2 = jax.tree.map(
+            np.asarray,
+            match_descriptors(
+                jnp.asarray(desc), jnp.asarray(kpts.mask),
+                jnp.asarray(d2), jnp.asarray(k2.mask),
+                ratio=0.8, binary=True,
+            ),
+        )
+        src = kpts.xy[m2.mask]
+        dst = k2.xy[m2.idx[m2.mask]]
+        disp = dst - src
+        ok = np.abs(disp - np.asarray([6.0, 0.0])) < 2.0
+        frac = ok.all(axis=1).mean()
+        assert frac > 0.6, frac  # most surviving matches see the true shift
+
+
+class TestCv2Parity:
+    def test_keypoint_distribution_vs_opencv(self, img):
+        cv2 = pytest.importorskip("cv2")
+        if not hasattr(cv2, "AKAZE_create"):
+            pytest.skip("this cv2 build ships without AKAZE")
+        det = cv2.AKAZE_create(threshold=1e-3)
+        ref_kp = det.detect(np.clip(img, 0, 255).astype(np.uint8), None)
+        if len(ref_kp) < 10:
+            pytest.skip("cv2 found too few keypoints to compare")
+        ref_xy = np.asarray([k.pt for k in ref_kp], np.float32)
+
+        fn = jax.jit(
+            lambda im: detect_akaze(
+                im, max_keypoints=256, n_octaves=4, n_sublevels=4
+            )[0]
+        )
+        ours = jax.tree.map(np.asarray, fn(jnp.asarray(img)))
+        xy = ours.xy[ours.mask]
+        assert len(xy) >= 10
+        # Tolerance-band parity: most OpenCV keypoints have one of ours
+        # within a few pixels (and vice versa) — same structures fire.
+        d_ref = np.linalg.norm(ref_xy[:, None] - xy[None], axis=-1).min(1)
+        d_ours = np.linalg.norm(xy[:, None] - ref_xy[None], axis=-1).min(1)
+        assert (d_ref < 4.0).mean() > 0.5, (d_ref < 4.0).mean()
+        assert (d_ours < 4.0).mean() > 0.5, (d_ours < 4.0).mean()
+
+
+class TestPipelineIntegration:
+    def test_mono_vo_runs_with_akaze(self):
+        from ergo_uvo_tpu.config import AkazeConfig, MonoVOConfig
+        from ergo_uvo_tpu.io import make_mono_sequence
+        from ergo_uvo_tpu.pipeline import run_mono_vo
+
+        cfg = MonoVOConfig(
+            feature_detector="AKAZE",
+            akaze=AkazeConfig(n_octaves=2, n_sublevels=2),
+            lowe_ratio_test=0.8,
+            max_keypoints=128,
+            num_hypotheses=32,
+            min_num_features=10,
+        )
+        seq = make_mono_sequence(n_frames=8, height=160, width=200, seed=4)
+        _, outs = run_mono_vo(
+            jnp.asarray(seq.imgs_left),
+            jnp.asarray(seq.timestamps),
+            jnp.asarray(seq.ranges),
+            jnp.asarray(seq.K),
+            cfg,
+            jax.random.PRNGKey(0),
+        )
+        outs = jax.tree.map(np.asarray, outs)
+        assert outs.published[1:].mean() > 0.5
+        assert np.isfinite(outs.velocity).all()
