@@ -26,12 +26,17 @@ import sys
 import numpy as np
 
 
-def _load_frames_dir(directory, gray=True):
+def _list_frames(directory):
     paths = sorted(glob.glob(os.path.join(directory, "*.jpg"))) + sorted(
         glob.glob(os.path.join(directory, "*.jpeg"))
     )
     if not paths:
         raise SystemExit(f"no JPEG frames under {directory}")
+    return paths
+
+
+def _load_frames_dir(directory, gray=True):
+    paths = _list_frames(directory)
     from ergo_uvo_tpu.io import native
 
     frames = {}
@@ -61,6 +66,67 @@ def _parse_size(spec):
         return w, h
     except ValueError:
         raise SystemExit(f"--synthetic-size must be WxH, got {spec!r}")
+
+
+def _stream_ckpt_example(init_state, out_type):
+    """Structure template for load_stream_checkpoint: (frames_done, VO state,
+    stacked per-frame outputs, PRNG key). Leaf shapes/dtypes come from the
+    file; only the tree structure matters here."""
+    return (
+        np.int64(0),
+        init_state,
+        out_type(*([np.zeros(0)] * len(out_type._fields))),
+        np.zeros(2, np.uint32),
+    )
+
+
+def _make_stream_ckpt_cb(path, every, offset=0, outs_prefix=None):
+    """Chunk callback that persists streaming-VO progress every `every`
+    chunks (crash-resumable; see utils.checkpoint.save_stream_checkpoint).
+    `offset`/`outs_prefix` carry progress restored from a previous run so a
+    resumed run's checkpoints stay self-contained."""
+    import jax
+
+    from ergo_uvo_tpu.utils.checkpoint import save_stream_checkpoint
+
+    def cb(frames_done, state, chunks, key):
+        if every > 1 and len(chunks) % every:
+            return
+        outs = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
+        if outs_prefix is not None:
+            outs = jax.tree.map(
+                lambda a, b: np.concatenate([np.asarray(a), b]), outs_prefix, outs
+            )
+        save_stream_checkpoint(
+            path,
+            (
+                np.int64(offset + frames_done),
+                jax.tree.map(np.asarray, state),
+                outs,
+                np.asarray(key),
+            ),
+        )
+
+    return cb
+
+
+def _resume_stream(args, init_state, out_type):
+    """Load (start_frame, state, outs_prefix, key) from --checkpoint if
+    --resume was given and the file exists; else fresh-start values."""
+    import jax
+    import jax.numpy as jnp
+
+    if args.resume:
+        if not args.checkpoint:
+            raise SystemExit("--resume requires --checkpoint PATH")
+        if os.path.exists(args.checkpoint):
+            from ergo_uvo_tpu.utils.checkpoint import load_stream_checkpoint
+
+            fd, st, outs_prev, k = load_stream_checkpoint(
+                args.checkpoint, _stream_ckpt_example(init_state, out_type)
+            )
+            return int(fd), jax.tree.map(jnp.asarray, st), outs_prev, jnp.asarray(k)
+    return 0, None, None, jax.random.PRNGKey(args.seed)
 
 
 def _run_mono(args):
@@ -144,11 +210,33 @@ def _run_mono(args):
             tss_p = np.concatenate([tss, np.full(pad, tss[-1], np.float32)])
             rgs_p = np.concatenate([rgs[:n_real],
                                     np.full(pad, rgs[n_real - 1], np.float32)])
-            source = JpegDirectorySource(paths_p, timestamps=tss_p, ranges=rgs_p)
-            state, outs = run_mono_vo_streaming(
-                source, plan, jnp.asarray(K), cfg, jax.random.PRNGKey(args.seed),
-                chunk_size=chunk,
+            from ergo_uvo_tpu.pipeline.mono import MonoFrameOutput, mono_vo_init
+
+            start, state0, outs_prev, key0 = _resume_stream(
+                args, mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim),
+                MonoFrameOutput,
             )
+            cb = (
+                _make_stream_ckpt_cb(args.checkpoint, args.checkpoint_every,
+                                     offset=start, outs_prefix=outs_prev)
+                if args.checkpoint else None
+            )
+            if start >= len(paths_p):
+                outs = outs_prev  # checkpoint already covers the sequence
+            else:
+                source = JpegDirectorySource(
+                    paths_p[start:], timestamps=tss_p[start:],
+                    ranges=rgs_p[start:],
+                )
+                state, outs = run_mono_vo_streaming(
+                    source, plan, jnp.asarray(K), cfg, key0,
+                    chunk_size=chunk, state=state0, chunk_callback=cb,
+                )
+                if outs_prev is not None:
+                    outs = jax.tree.map(
+                        lambda a, b: np.concatenate([np.asarray(a), np.asarray(b)]),
+                        outs_prev, outs,
+                    )
             outs = jax.tree.map(lambda v: v[:n_real], outs)
             imgs, tss, rgs = np.zeros((n_real,)), tss[:n_real], rgs[:n_real]
     outs = jax.tree.map(np.asarray, outs)
@@ -249,13 +337,23 @@ def _run_stereo(args):
                 and args.camera):
             raise SystemExit("--frames-left, --frames-right, --intrinsics and "
                              "--camera required (or use --synthetic N)")
+        from PIL import Image
+
+        from ergo_uvo_tpu.io.sequence import JpegPairSource
+        from ergo_uvo_tpu.pipeline.stereo import (
+            StereoFrameOutput,
+            run_stereo_vo_streaming,
+            stereo_vo_init,
+        )
+
         intr = load_stereo_intrinsics(args.intrinsics, args.camera)
-        raw_l = _load_frames_dir(args.frames_left)
-        raw_r = _load_frames_dir(args.frames_right)
-        if len(raw_l) != len(raw_r):
-            n = min(len(raw_l), len(raw_r))
-            raw_l, raw_r = raw_l[:n], raw_r[:n]
-        h, w = raw_l.shape[1:3]
+        paths_l = _list_frames(args.frames_left)
+        paths_r = _list_frames(args.frames_right)
+        if len(paths_l) != len(paths_r):
+            n = min(len(paths_l), len(paths_r))
+            paths_l, paths_r = paths_l[:n], paths_r[:n]
+        with Image.open(paths_l[0]) as im0:
+            w, h = im0.size
         plan_l = build_preprocess_plan(
             intr.left.K(), intr.left.dist_coeffs(), w, h,
             cfg.preprocessing.desired_width,
@@ -266,17 +364,60 @@ def _run_stereo(args):
             cfg.preprocessing.desired_width,
             cfg.preprocessing.clahe, cfg.preprocessing.clip_limit,
         )
-        pre_l = jax.jit(jax.vmap(lambda im: preprocess_frame(plan_l, im)))
-        pre_r = jax.jit(jax.vmap(lambda im: preprocess_frame(plan_r, im)))
-        imgs_l = np.asarray(pre_l(jnp.asarray(raw_l)))
-        imgs_r = np.asarray(pre_r(jnp.asarray(raw_r)))
-        tss = np.arange(len(imgs_l), dtype=np.float32) / cfg.node_freq
         rig = StereoRig(
             K_left=jnp.asarray(plan_l.new_K),
             K_right=jnp.asarray(plan_r.new_K),
             R_right=jnp.asarray(np.asarray(intr.R_right, np.float32)),
             t_right=jnp.asarray(np.asarray(intr.t_right, np.float32).reshape(3)),
         )
+        # STREAMING ingestion (mirrors the mono path): pad the synced path
+        # lists to a chunk multiple, stream decode → preprocess → scan, trim.
+        n_real = len(paths_l)
+        tss = np.arange(n_real, dtype=np.float32) / cfg.node_freq
+        chunk = max(min(args.chunk_size, n_real), 1)
+        pad = (-n_real) % chunk
+        paths_lp = paths_l + [paths_l[-1]] * pad
+        paths_rp = paths_r + [paths_r[-1]] * pad
+        tss_p = np.concatenate([tss, np.full(pad, tss[-1], np.float32)])
+        start, state0, outs_prev, key0 = _resume_stream(
+            args, stereo_vo_init(cfg.max_keypoints, cfg.descriptor_dim),
+            StereoFrameOutput,
+        )
+        cb = (
+            _make_stream_ckpt_cb(args.checkpoint, args.checkpoint_every,
+                                 offset=start, outs_prefix=outs_prev)
+            if args.checkpoint else None
+        )
+        if start >= len(paths_lp):
+            outs = outs_prev
+        else:
+            source = JpegPairSource(paths_lp[start:], paths_rp[start:],
+                                    timestamps=tss_p[start:])
+            state, outs = run_stereo_vo_streaming(
+                source, plan_l, plan_r, rig, cfg, key0,
+                chunk_size=chunk, state=state0, chunk_callback=cb,
+            )
+            if outs_prev is not None:
+                outs = jax.tree.map(
+                    lambda a, b: np.concatenate([np.asarray(a), np.asarray(b)]),
+                    outs_prev, outs,
+                )
+        outs = jax.tree.map(lambda v: np.asarray(v)[:n_real], outs)
+        n_frames = n_real
+        rec = RunRecorder(args.out)
+        for i in range(n_frames):
+            rec.record_frame(i, jax.tree.map(lambda v, i=i: v[i], outs))
+        rec.close()
+        pos = integrate_mono_trajectory(outs.velocity, outs.R, tss,
+                                        outs.published)
+        np.savetxt(os.path.splitext(args.out)[0] + "_trajectory.txt", pos)
+        summary = {
+            "frames": int(n_frames),
+            "published": int(outs.published.sum()),
+            "valid": int(outs.validity.sum()),
+        }
+        print(json.dumps(summary))
+        return
 
     n_frames = len(imgs_l)
     state, outs = run_stereo_vo(
@@ -331,7 +472,15 @@ def main(argv=None):
         sp.add_argument("--loop-closure", action="store_true",
                         help="run retrieval + pose-graph loop closure")
         sp.add_argument("--chunk-size", type=int, default=16,
-                        help="streaming chunk length (real-data mono)")
+                        help="streaming chunk length (real-data runs)")
+        sp.add_argument("--checkpoint",
+                        help="stream-checkpoint file (.npz): progress is "
+                             "persisted during real-data streaming runs")
+        sp.add_argument("--checkpoint-every", type=int, default=4,
+                        help="checkpoint every N chunks (default 4)")
+        sp.add_argument("--resume", action="store_true",
+                        help="resume a real-data run from --checkpoint "
+                             "(fresh start if the file does not exist yet)")
     args = p.parse_args(argv)
     if args.mode == "mono":
         _run_mono(args)

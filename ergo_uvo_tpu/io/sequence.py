@@ -99,6 +99,41 @@ class JpegDirectorySource(FrameSource):
         # path list if every frame matters).
 
 
+class JpegPairSource(FrameSource):
+    """Synced left/right JPEG streaming source for the stereo pipeline.
+
+    The streaming analogue of the reference's ApproximateTime-synced stereo
+    subscriber pair (visual_odometry.h:766-774): two path lists of equal
+    length decode side by side (each through its own native prefetch ring /
+    PIL fallback) and emit paired fixed-size batches.
+    """
+
+    def __init__(self, paths_left, paths_right, timestamps=None, gray=True,
+                 threads: int = 4):
+        if len(paths_left) != len(paths_right):
+            raise ValueError(
+                f"unsynced stereo streams: {len(paths_left)} left vs "
+                f"{len(paths_right)} right frames"
+            )
+        self._left = JpegDirectorySource(paths_left, timestamps=timestamps,
+                                         gray=gray, threads=threads)
+        self._right = JpegDirectorySource(paths_right, timestamps=timestamps,
+                                          gray=gray, threads=threads)
+
+    def __len__(self):
+        return len(self._left)
+
+    def batches(self, batch_size: int) -> Iterator[FrameBatch]:
+        for bl, br in zip(self._left.batches(batch_size),
+                          self._right.batches(batch_size)):
+            yield FrameBatch(
+                imgs=bl.imgs,
+                imgs_right=br.imgs,
+                timestamps=bl.timestamps,
+                ranges=None,
+            )
+
+
 class ArraySource(FrameSource):
     """In-memory source over preloaded arrays (tests, benchmarks, replays)."""
 

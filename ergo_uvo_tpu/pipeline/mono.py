@@ -215,6 +215,7 @@ def run_mono_vo_streaming(
     key: jax.Array,
     chunk_size: int = 16,
     state: MonoVOState | None = None,
+    chunk_callback=None,
 ):
     """Stream a :class:`ergo_uvo_tpu.io.sequence.FrameSource` through mono VO.
 
@@ -222,6 +223,11 @@ def run_mono_vo_streaming(
     (vmapped) and scanned as one XLA program while the NEXT chunk decodes on
     host threads (the native prefetch ring) — frames never bulk-materialize.
     Returns (final_state, outputs stacked over all streamed frames).
+
+    `chunk_callback(frames_done, state, chunks, next_key)` fires after every
+    chunk with the carried VO state, the list of per-chunk output pytrees
+    (numpy), and the PRNG key the NEXT chunk will split — exactly the payload
+    a crash-resumable checkpoint needs (utils.checkpoint.save_stream_checkpoint).
     """
     import numpy as np
 
@@ -243,6 +249,7 @@ def run_mono_vo_streaming(
         return jax.lax.scan(step, state, (imgs, tss, rgs, keys))
 
     chunks = []
+    frames_done = 0
     for batch in source.batches(chunk_size):
         key, sub = jax.random.split(key)
         imgs = pre(jnp.asarray(batch.imgs))
@@ -254,6 +261,9 @@ def run_mono_vo_streaming(
         state, outs = run_chunk(state, imgs, jnp.asarray(batch.timestamps),
                                 rgs, sub)
         chunks.append(jax.tree.map(np.asarray, outs))
+        frames_done += int(imgs.shape[0])
+        if chunk_callback is not None:
+            chunk_callback(frames_done, state, chunks, key)
     if not chunks:
         raise ValueError("source yielded no complete chunks")
     outputs = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)

@@ -196,6 +196,71 @@ def stereo_vo_step(
     return next_state, out
 
 
+def run_stereo_vo_streaming(
+    source,
+    plan_l,
+    plan_r,
+    rig: StereoRig,
+    cfg: StereoVOConfig,
+    key: jax.Array,
+    chunk_size: int = 16,
+    state: StereoVOState | None = None,
+    chunk_callback=None,
+):
+    """Stream synced L/R frame batches through stereo VO chunk by chunk.
+
+    The streaming analogue of the reference's ApproximateTime-synced stereo
+    loop (visual_odometry.h:766-774, :526-740): a host loop pulls fixed-size
+    paired batches from a :class:`ergo_uvo_tpu.io.sequence.JpegPairSource`
+    (next chunk decodes on host threads while the device scans the current
+    one), preprocesses both eyes with their own undistortion plans, and scans
+    `stereo_vo_step` as one XLA program per chunk.  Returns
+    (final_state, outputs stacked over all streamed frames).
+
+    `chunk_callback(frames_done, state, chunks, next_key)` — see
+    :func:`ergo_uvo_tpu.pipeline.mono.run_mono_vo_streaming`.
+    """
+    import numpy as np
+
+    from ergo_uvo_tpu.image.preprocess import preprocess_frame
+
+    if state is None:
+        state = stereo_vo_init(cfg.max_keypoints, cfg.descriptor_dim)
+
+    pre_l = jax.jit(jax.vmap(lambda im: preprocess_frame(plan_l, im)))
+    pre_r = jax.jit(jax.vmap(lambda im: preprocess_frame(plan_r, im)))
+
+    @jax.jit
+    def run_chunk(state, imgs_l, imgs_r, tss, key):
+        keys = jax.random.split(key, imgs_l.shape[0])
+
+        def step(carry, inp):
+            il, ir, ts, k = inp
+            return stereo_vo_step(carry, il, ir, ts, rig, k, cfg)
+
+        return jax.lax.scan(step, state, (imgs_l, imgs_r, tss, keys))
+
+    chunks = []
+    frames_done = 0
+    for batch in source.batches(chunk_size):
+        if batch.imgs_right is None:
+            raise ValueError("stereo streaming needs a paired source "
+                             "(FrameBatch.imgs_right is None)")
+        key, sub = jax.random.split(key)
+        imgs_l = pre_l(jnp.asarray(batch.imgs))
+        imgs_r = pre_r(jnp.asarray(batch.imgs_right))
+        state, outs = run_chunk(state, imgs_l, imgs_r,
+                                jnp.asarray(batch.timestamps), sub)
+        chunks.append(jax.tree.map(np.asarray, outs))
+        frames_done += int(imgs_l.shape[0])
+        if chunk_callback is not None:
+            chunk_callback(frames_done, state, chunks, key)
+    if not chunks:
+        raise ValueError("source yielded no complete chunks")
+    outputs = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
+    return state, outputs
+
+
 def run_stereo_vo(
     imgs_l: jax.Array,  # (T, H, W)
     imgs_r: jax.Array,  # (T, H, W)

@@ -31,6 +31,43 @@ def save_state(path: str, state: Any) -> None:
     ckptr.save(path, state, force=True)
 
 
+def save_stream_checkpoint(path: str, payload: Any) -> None:
+    """Checkpoint a host-side pytree (streaming-VO progress) to one .npz.
+
+    Streaming checkpoints are small (carried VO state + per-frame outputs +
+    the RNG key), written once per few chunks from the ingest loop — a flat
+    npz avoids Orbax's per-directory layout for what is a single file's worth
+    of data.  Written atomically (tmp + rename) so a crash mid-save leaves
+    the previous checkpoint intact.
+    """
+    import numpy as np
+
+    path = os.path.abspath(path)
+    leaves, _ = jax.tree.flatten(payload)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **{f"leaf_{i:04d}": np.asarray(l) for i, l in enumerate(leaves)})
+    os.replace(tmp, path)
+
+
+def load_stream_checkpoint(path: str, example: Any) -> Any:
+    """Restore a :func:`save_stream_checkpoint` pytree.
+
+    `example` supplies only the tree *structure* (leaf shapes/dtypes come
+    from the file), so a template with zero-length leading axes works.
+    """
+    import numpy as np
+
+    data = np.load(os.path.abspath(path))
+    leaves, treedef = jax.tree.flatten(example)
+    if len(data.files) != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(data.files)} leaves, template has "
+            f"{len(leaves)} — config/detector mismatch?"
+        )
+    restored = [data[f"leaf_{i:04d}"] for i in range(len(leaves))]
+    return jax.tree.unflatten(treedef, restored)
+
+
 def restore_state(path: str, example: Any) -> Any:
     """Restore a pytree saved by :func:`save_state`.
 

@@ -142,3 +142,144 @@ class TestSyntheticAndRefinement:
         traj = np.loadtxt(tmp_path / "b_trajectory.txt")
         assert traj.shape == (11, 3)
         assert np.isfinite(traj).all()
+
+
+STEREO_PARAMS_YAML = """
+node_freq: 4.0
+preprocessing:
+  desired_width: 320
+  clahe: false
+  clip_limit: 8.0
+vo_params:
+  feature_detector: SURF
+  lowe_ratio_test: 0.8
+  min_num_features: 5
+surf_params:
+  min_hessian: 60.0
+tpu_params:
+  max_keypoints: 128
+  num_hypotheses: 64
+"""
+
+STEREO_INTRINSICS_YAML = """
+test_rig:
+  camera_intrinsic_left:
+    fx: {fx}
+    fy: {fy}
+    ccx: {ccx}
+    ccy: {ccy}
+  camera_intrinsic_right:
+    fx: {fx}
+    fy: {fy}
+    ccx: {ccx}
+    ccy: {ccy}
+  distortion_coefficient_left:
+    radial: {{k1: 0.0, k2: 0.0}}
+    tangential: {{p1: 0.0, p2: 0.0}}
+  distortion_coefficient_right:
+    radial: {{k1: 0.0, k2: 0.0}}
+    tangential: {{p1: 0.0, p2: 0.0}}
+  left_camera_rotation_matrix:
+    rows: 3
+    cols: 3
+    data: [1, 0, 0, 0, 1, 0, 0, 0, 1]
+  left_camera_translation_vector:
+    rows: 3
+    cols: 1
+    data: [0, 0, 0]
+  right_camera_rotation_matrix:
+    rows: 3
+    cols: 3
+    data: [1, 0, 0, 0, 1, 0, 0, 0, 1]
+  right_camera_translation_vector:
+    rows: 3
+    cols: 1
+    data: [-0.33, 0.0, 0.0]
+"""
+
+
+@pytest.fixture(scope="module")
+def stereo_dataset(tmp_path_factory):
+    """9 synced synthetic stereo pairs (not a chunk multiple) as JPEGs +
+    rig YAML (reference stereo_VO_intrinsics.yaml schema)."""
+    from PIL import Image
+
+    from ergo_uvo_tpu.io import make_stereo_sequence
+
+    root = tmp_path_factory.mktemp("cli_stereo")
+    seq = make_stereo_sequence(n_frames=9, height=240, width=320, dt=0.25, seed=5)
+    for side, imgs in (("left", seq.imgs_left), ("right", seq.imgs_right)):
+        d = root / side
+        d.mkdir()
+        for i, img in enumerate(imgs):
+            Image.fromarray(np.clip(img, 0, 255).astype(np.uint8), "L").save(
+                d / f"f_{i:04d}.jpg", quality=97
+            )
+    (root / "params.yaml").write_text(STEREO_PARAMS_YAML)
+    (root / "intrinsics.yaml").write_text(
+        STEREO_INTRINSICS_YAML.format(
+            fx=seq.K[0, 0], fy=seq.K[1, 1], ccx=seq.K[0, 2], ccy=seq.K[1, 2]
+        )
+    )
+    return root, seq
+
+
+class TestStereoRealData:
+    def test_streaming_stereo_full_sequence(self, stereo_dataset, capsys, tmp_path):
+        """9 pairs at --chunk-size 4: padded streaming must emit all 9 records
+        (visual_odometry.h:766-774 synced-pair ingestion, streamed)."""
+        root, _ = stereo_dataset
+        out = tmp_path / "st.jsonl"
+        summary = _run(capsys, [
+            "stereo", "--params", str(root / "params.yaml"),
+            "--intrinsics", str(root / "intrinsics.yaml"),
+            "--camera", "test_rig",
+            "--frames-left", str(root / "left"),
+            "--frames-right", str(root / "right"),
+            "--out", str(out), "--chunk-size", "4",
+        ])
+        assert summary["frames"] == 9
+        assert summary["published"] >= 6
+        traj = np.loadtxt(tmp_path / "st_trajectory.txt")
+        assert traj.shape == (9, 3)
+        assert np.isfinite(traj).all()
+        with open(out) as f:
+            assert len(f.readlines()) == 9
+
+
+class TestCheckpointResume:
+    def test_mono_checkpoint_then_resume_complete(self, mono_dataset, capsys,
+                                                  tmp_path):
+        """Run with --checkpoint, then --resume against the finished
+        checkpoint: the resumed run must reload progress (no recompute) and
+        reproduce the identical trajectory."""
+        root, _ = mono_dataset
+        ckpt = tmp_path / "stream.npz"
+        base = [
+            "mono", "--params", str(root / "params.yaml"),
+            "--intrinsics", str(root / "intrinsics.yaml"),
+            "--camera", "test_camera",
+            "--frames", str(root / "frames"),
+            "--ranges", str(root / "ranges.txt"),
+            "--chunk-size", "4",
+            "--checkpoint", str(ckpt), "--checkpoint-every", "1",
+        ]
+        s1 = _run(capsys, base + ["--out", str(tmp_path / "a.jsonl")])
+        assert ckpt.exists()
+        s2 = _run(capsys, base + ["--resume", "--out", str(tmp_path / "b.jsonl")])
+        assert s2["frames"] == s1["frames"] == 11
+        t1 = np.loadtxt(tmp_path / "a_trajectory.txt")
+        t2 = np.loadtxt(tmp_path / "b_trajectory.txt")
+        np.testing.assert_array_equal(t1, t2)
+
+    def test_resume_requires_checkpoint_path(self, mono_dataset, tmp_path):
+        root, _ = mono_dataset
+        with pytest.raises(SystemExit, match="--resume requires"):
+            cli.main([
+                "mono", "--params", str(root / "params.yaml"),
+                "--intrinsics", str(root / "intrinsics.yaml"),
+                "--camera", "test_camera",
+                "--frames", str(root / "frames"),
+                "--ranges", str(root / "ranges.txt"),
+                "--resume", "--out", str(tmp_path / "x.jsonl"),
+            ])

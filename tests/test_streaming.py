@@ -75,3 +75,125 @@ def test_jpeg_directory_source_order_and_stream(tmp_path):
     # JPEG is lossy but flat frames survive within ~2 gray levels.
     expect = [10 + 20 * i for i in range(12)]
     assert all(abs(g - e) < 3 for g, e in zip(got, expect)), got
+
+
+def test_stereo_streaming_matches_bulk_accuracy():
+    """Stereo streaming runner vs the bulk stereo scan on the same fixture:
+    same accuracy band (PRNG splitting differs chunk-wise, so statistical
+    agreement, not bit equality)."""
+    from ergo_uvo_tpu.config import StereoVOConfig
+    from ergo_uvo_tpu.io import make_stereo_sequence
+    from ergo_uvo_tpu.pipeline import run_stereo_vo
+    from ergo_uvo_tpu.pipeline.stereo import StereoRig, run_stereo_vo_streaming
+
+    cfg = StereoVOConfig(
+        surf=SurfConfig(min_hessian=60.0), max_keypoints=256, num_hypotheses=128
+    )
+    seq = make_stereo_sequence(n_frames=12, height=240, width=320, dt=0.25, seed=4)
+    rig = StereoRig(
+        K_left=jnp.asarray(seq.K), K_right=jnp.asarray(seq.K),
+        R_right=jnp.eye(3), t_right=jnp.asarray([-0.33, 0.0, 0.0]),
+    )
+    plan = build_preprocess_plan(
+        seq.K.astype(np.float64), np.zeros(4), 320, 240, 320,
+        clahe_enabled=False, clip_limit=3.0,
+    )
+    _, bulk = run_stereo_vo(
+        jnp.asarray(seq.imgs_left), jnp.asarray(seq.imgs_right),
+        jnp.asarray(seq.timestamps), rig, cfg, jax.random.PRNGKey(2),
+    )
+    bulk = jax.tree.map(np.asarray, bulk)
+
+    src = ArraySource(seq.imgs_left, seq.timestamps, imgs_right=seq.imgs_right)
+    _, stream = run_stereo_vo_streaming(
+        src, plan, plan, rig, cfg, jax.random.PRNGKey(2), chunk_size=4
+    )
+    assert len(stream.published) == 12
+    assert int(stream.published.sum()) >= int(bulk.published.sum()) - 1
+    gt = seq.positions - seq.positions[0]
+    pos_b = np.cumsum(
+        bulk.velocity * np.gradient(seq.timestamps)[:, None] * bulk.published[:, None],
+        axis=0,
+    )
+    pos_s = np.cumsum(
+        stream.velocity * np.gradient(seq.timestamps)[:, None]
+        * stream.published[:, None],
+        axis=0,
+    )
+    # Both runs must recover motion along the dominant axis to similar scale.
+    err_b = ate_rmse(pos_b, gt)
+    err_s = ate_rmse(pos_s, gt)
+    assert err_s < max(2.0 * err_b, 0.30), (err_b, err_s)
+
+
+def test_stream_checkpoint_resume_bitexact(tmp_path):
+    """Crash at chunk 2 of 4, resume from the stream checkpoint: the resumed
+    run's outputs must be BIT-IDENTICAL to the uninterrupted run (state + PRNG
+    key round-trip through the npz exactly)."""
+    from ergo_uvo_tpu.pipeline.mono import MonoFrameOutput, mono_vo_init
+    from ergo_uvo_tpu.utils.checkpoint import (
+        load_stream_checkpoint,
+        save_stream_checkpoint,
+    )
+
+    cfg = MonoVOConfig(
+        surf=SurfConfig(min_hessian=60.0), max_keypoints=256, num_hypotheses=128
+    )
+    seq = make_mono_sequence(n_frames=20, height=240, width=320, dt=0.25, seed=9)
+    plan = build_preprocess_plan(
+        seq.K.astype(np.float64), np.zeros(4), 320, 240, 320,
+        clahe_enabled=False, clip_limit=3.0,
+    )
+    K = jnp.asarray(seq.K)
+    ckpt = str(tmp_path / "stream.npz")
+
+    # Uninterrupted run (checkpointing every chunk as a side effect).
+    def cb(frames_done, state, chunks, key):
+        outs = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
+        save_stream_checkpoint(
+            ckpt,
+            (np.int64(frames_done), jax.tree.map(np.asarray, state), outs,
+             np.asarray(key)),
+        )
+
+    src = ArraySource(seq.imgs_left, seq.timestamps, ranges=seq.ranges)
+    snapshots = {}
+
+    def cb_capture(frames_done, state, chunks, key):
+        cb(frames_done, state, chunks, key)
+        if frames_done == 10:  # keep the mid-run checkpoint bytes
+            import shutil
+
+            shutil.copy(ckpt, ckpt + ".mid")
+
+    _, full = run_mono_vo_streaming(
+        src, plan, K, cfg, jax.random.PRNGKey(1), chunk_size=5,
+        chunk_callback=cb_capture,
+    )
+    assert os.path.exists(ckpt + ".mid")
+
+    # "Crash" after frame 10 -> restore and run the remaining frames.
+    example = (
+        np.int64(0),
+        mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim),
+        MonoFrameOutput(*([np.zeros(0)] * len(MonoFrameOutput._fields))),
+        np.zeros(2, np.uint32),
+    )
+    fd, st, outs_prev, key = load_stream_checkpoint(ckpt + ".mid", example)
+    assert int(fd) == 10
+    src2 = ArraySource(
+        seq.imgs_left[10:], seq.timestamps[10:], ranges=seq.ranges[10:]
+    )
+    _, tail = run_mono_vo_streaming(
+        src2, plan, K, cfg, jnp.asarray(key), chunk_size=5,
+        state=jax.tree.map(jnp.asarray, st),
+    )
+    resumed = jax.tree.map(
+        lambda a, b: np.concatenate([np.asarray(a), np.asarray(b)]),
+        outs_prev, tail,
+    )
+    for name in full._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(full, name)), np.asarray(getattr(resumed, name)),
+            err_msg=name,
+        )
