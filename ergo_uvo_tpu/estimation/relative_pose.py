@@ -4,10 +4,12 @@ Masked-state-machine re-design of ``estimate_relative_pose``
 (VO_utility.cpp:134-180) and ``select_estimation_method``
 (VO_utility.cpp:725-748).  The reference's retry loop ("try the selected
 method; on VPF/inlier failure switch method once; else give up") becomes a
-compiled both-paths computation: essential and homography branches both run
-(they are batched and cheap relative to a trace break), then the reference's
-exact decision tree picks the observable outputs (SURVEY.md §7.1
-"Branching via masked-both-paths").
+pair of nested ``lax.cond``s over fixed-shape branches: under the pipeline's
+``lax.scan`` these are real runtime branches, so the common frame pays for
+exactly ONE robust estimator and the switched method's RANSAC runs only on
+actual gate failure — while the observable decision tree (attempt order,
+accept gates, last-attempt output on total failure) matches the reference
+exactly.
 """
 
 from __future__ import annotations
@@ -69,64 +71,69 @@ def estimate_relative_pose(
     """
     k_e, k_h = jax.random.split(key)
     n_matches = jnp.sum(mask.astype(jnp.int32))
-
-    # ---- essential branch (VO_utility.cpp:145-149).
-    E, epi_inliers = find_essential(
-        k_e, xy1, xy2, mask, K,
-        cfg.essential.outlier_method, cfg.essential.threshold,
-        cfg.num_hypotheses,
-    )
     x1n = _normalized(K, xy1)
     x2n = _normalized(K, xy2)
-    R_e, t_e, mask_e = recover_pose_from_essential(E, x1n, x2n, epi_inliers)
-    # VPF counts the recoverPose-updated mask (the reference counts `mask`
-    # after recoverPose mutates it, VO_utility.cpp:157).
-    inl_e = jnp.sum(mask_e.astype(jnp.int32))
 
-    # ---- homography branch (VO_utility.cpp:151-154).
-    Hm, h_inliers = find_homography(
-        k_h, xy1, xy2, mask,
-        cfg.homography.outlier_method, cfg.homography.threshold,
-        cfg.num_hypotheses,
-    )
-    R_h, t_h, _ = recover_pose_homography(
-        Hm, xy1, xy2, h_inliers, K, cfg.homography_distance, R_prev, t_prev
-    )
-    inl_h = jnp.sum(h_inliers.astype(jnp.int32))
+    # Each branch returns (R, t, triangulation_inliers, vpf_inlier_count).
+    # Keys are fixed per METHOD (k_e essential, k_h homography) regardless of
+    # attempt order, so results are independent of which branch runs first.
+    def essential_branch(_):
+        # VO_utility.cpp:145-149.
+        E, epi_inliers = find_essential(
+            k_e, xy1, xy2, mask, K,
+            cfg.essential.outlier_method, cfg.essential.threshold,
+            cfg.num_hypotheses,
+        )
+        R_e, t_e, mask_e = recover_pose_from_essential(E, x1n, x2n, epi_inliers)
+        # VPF counts the recoverPose-updated mask (the reference counts `mask`
+        # after recoverPose mutates it, VO_utility.cpp:157); triangulation
+        # consumes the pre-recoverPose epipolar set (extract_inliers runs on
+        # findEssentialMat's mask, VO_utility.cpp:148).
+        return R_e, t_e, epi_inliers, jnp.sum(mask_e.astype(jnp.int32))
 
-    # ---- accept/reject + switch-once decision tree (VO_utility.cpp:157-178).
-    denom = jnp.maximum(n_matches, 1)
-    ok_e = (inl_e / denom >= cfg.valid_point_fraction) & (
-        inl_e >= cfg.min_num_inliers
-    )
-    ok_h = (inl_h / denom >= cfg.valid_point_fraction) & (
-        inl_h >= cfg.min_num_inliers
-    )
+    def homography_branch(_):
+        # VO_utility.cpp:151-154.
+        Hm, h_inliers = find_homography(
+            k_h, xy1, xy2, mask,
+            cfg.homography.outlier_method, cfg.homography.threshold,
+            cfg.num_hypotheses,
+        )
+        R_h, t_h, _ = recover_pose_homography(
+            Hm, xy1, xy2, h_inliers, K, cfg.homography_distance, R_prev, t_prev
+        )
+        return R_h, t_h, h_inliers, jnp.sum(h_inliers.astype(jnp.int32))
+
+    def gate(num_inl):
+        # Accept iff VPF and inlier-count thresholds pass (VO_utility.cpp:157-160).
+        return (num_inl / jnp.maximum(n_matches, 1) >= cfg.valid_point_fraction) & (
+            num_inl >= cfg.min_num_inliers
+        )
 
     prefer_essential = select_estimation_method(xy1, xy2, mask, cfg.distance)
-    # Outcome method: the preferred one if it passed, else the switched one —
-    # whether or not it passed: on total failure the reference's output Mats
-    # hold the LAST attempted method's estimate (the while loop overwrites
-    # R/t each attempt before breaking, VO_utility.cpp:140-179).
-    first_ok = jnp.where(prefer_essential, ok_e, ok_h)
-    second_ok = jnp.where(prefer_essential, ok_h, ok_e)
+
+    # ---- try preferred; on VPF/inlier failure switch method ONCE
+    # (VO_utility.cpp:140-179).  Under `lax.scan` these `lax.cond`s are real
+    # runtime branches: the common frame runs ONE robust estimator, not two —
+    # the switched branch's RANSAC executes only on actual gate failure.
+    first = jax.lax.cond(
+        prefer_essential, essential_branch, homography_branch, None
+    )
+    first_ok = gate(first[3])
+    # On total failure the reference's output Mats hold the LAST attempted
+    # method's estimate (the while loop overwrites R/t each attempt before
+    # breaking) — which is exactly `second` in every case: when the first
+    # attempt passed, the "second" is defined as the first itself.
+    second = jax.lax.cond(
+        first_ok,
+        lambda _: first,
+        lambda _: jax.lax.cond(
+            prefer_essential, homography_branch, essential_branch, None
+        ),
+        None,
+    )
+    R, t, tri_inliers, num_inliers = second
+    success = first_ok | gate(num_inliers)
     use_essential = jnp.where(first_ok, prefer_essential, ~prefer_essential)
-    success = first_ok | second_ok
-
-    def pick(e_val, h_val):
-        cond = use_essential
-        shape_ok = cond
-        while shape_ok.ndim < e_val.ndim:
-            shape_ok = shape_ok[..., None]
-        return jnp.where(shape_ok, e_val, h_val)
-
-    R = pick(R_e, R_h)
-    t = pick(t_e, t_h)
-    # Triangulation consumes the pre-recoverPose inlier set for essential
-    # (extract_inliers runs on findEssentialMat's mask, VO_utility.cpp:148)
-    # and the RANSAC mask for homography (:153).
-    tri_inliers = pick(epi_inliers, h_inliers)
-    num_inliers = pick(inl_e, inl_h)
 
     return RelativePoseResult(
         R=R,
