@@ -63,26 +63,36 @@ def make_problem(P, L, seed=0):
     return K, obs, mask, Rs, ts, X0
 
 
-def time_iters(mesh, P, L, iters=30):
+def time_iters(mesh, P, L, iters=30, reps=3):
+    """Median-of-`reps` iterations/s (one compile, `reps` timed runs).
+
+    A single rep on a shared-core virtual mesh is dominated by scheduler
+    noise (VERDICT r3 weak #3: the proxy read 1.24 then 0.97 with no code
+    change); the median of >=3 reps plus the min/max band makes noise
+    visible instead of masquerading as a trend.
+    """
     K, obs, mask, Rs, ts, X0 = make_problem(P, L)
     step = make_sharded_ba_step(mesh, num_fixed=2)
     rep = replicated(mesh)
     obs = jax.device_put(jnp.asarray(obs), landmark_sharding(mesh, 3, 1))
     maskd = jax.device_put(jnp.asarray(mask), landmark_sharding(mesh, 2, 1))
-    X = jax.device_put(jnp.asarray(X0), landmark_sharding(mesh, 2, 0))
-    R = jax.device_put(jnp.asarray(Rs), rep)
-    t = jax.device_put(jnp.asarray(ts), rep)
-    lam = jax.device_put(jnp.asarray(1e-3, jnp.float32), rep)
+    X0d = jax.device_put(jnp.asarray(X0), landmark_sharding(mesh, 2, 0))
+    R0 = jax.device_put(jnp.asarray(Rs), rep)
+    t0_ = jax.device_put(jnp.asarray(ts), rep)
+    lam0 = jax.device_put(jnp.asarray(1e-3, jnp.float32), rep)
     Kd = jax.device_put(jnp.asarray(K), rep)
     # warmup/compile
-    R1, t1, X1, lam1, cost = step(Kd, obs, maskd, R, t, X, lam)
-    jax.block_until_ready(cost)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        R, t, X, lam, cost = step(Kd, obs, maskd, R, t, X, lam)
-    jax.block_until_ready(cost)
-    dt = time.perf_counter() - t0
-    return iters / dt
+    out = step(Kd, obs, maskd, R0, t0_, X0d, lam0)
+    jax.block_until_ready(out[-1])
+    samples = []
+    for _ in range(reps):
+        R, t, X, lam = R0, t0_, X0d, lam0
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            R, t, X, lam, cost = step(Kd, obs, maskd, R, t, X, lam)
+        jax.block_until_ready(cost)
+        samples.append(iters / (time.perf_counter() - t0))
+    return samples
 
 
 def main():
@@ -91,16 +101,24 @@ def main():
     P, L_total = 8, 4096
     mesh1 = Mesh(np.array(devs[:1]), ("data",))
     meshN = Mesh(np.array(devs[:n]), ("data",))
-    ips1 = time_iters(mesh1, P, L_total)
-    ipsN = time_iters(meshN, P, L_total)
-    eff = ipsN / ips1  # same total work; deviation from 1 = comm overhead
+    s1 = time_iters(mesh1, P, L_total)
+    sN = time_iters(meshN, P, L_total)
+    ips1, ipsN = float(np.median(s1)), float(np.median(sN))
+    # Same total work on the same silicon: deviation from 1 = comm overhead.
+    # Readings > 1 are measurement noise by construction (the sharded run
+    # cannot out-compute the unsharded one on shared cores) — cap at 1.0 and
+    # report the raw band so noise is visible.
+    eff_raw = ipsN / ips1
+    band = [round(min(sN) / max(s1), 3), round(max(sN) / min(s1), 3)]
     print(
         json.dumps(
             {
                 "iters_per_s_1": round(ips1, 2),
                 "iters_per_s_N": round(ipsN, 2),
                 "n": n,
-                "efficiency": round(eff, 3),
+                "efficiency": round(min(eff_raw, 1.0), 3),
+                "efficiency_raw": round(eff_raw, 3),
+                "efficiency_band": band,
             }
         )
     )
