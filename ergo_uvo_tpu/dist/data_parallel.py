@@ -42,6 +42,46 @@ def shard_frame_batches(source, mesh: Mesh, batch_size: int, axis_name: str = "d
         yield imgs, tss, rgs
 
 
+def shard_frame_batches_multiprocess(
+    source, mesh: Mesh, global_batch_size: int, axis_name: str = "data"
+):
+    """Per-process half of multi-host sharded ingestion.
+
+    Under ``jax.distributed`` each process may only place data on its
+    ADDRESSABLE devices, so `source` must yield this process's share of every
+    global batch (``global_batch_size * local_device_count // device_count``
+    frames, in global order) and the global array is assembled with
+    :func:`jax.make_array_from_process_local_data` — no process ever
+    materializes a frame it did not decode.  Single-process meshes should use
+    :func:`shard_frame_batches` (plain device_put scatter).
+
+    Exercised end-to-end by tools/dryrun_multiprocess.py (2 OS processes x 2
+    virtual CPU devices each).
+    """
+    n = mesh.devices.size
+    n_local = len([d for d in mesh.devices.flat if d.process_index == jax.process_index()])
+    local_bs = global_batch_size * n_local // n
+    assert global_batch_size % n == 0, (global_batch_size, n)
+    for batch in source.batches(local_bs):
+        h, w = batch.imgs.shape[1:3]
+        sh_b = NamedSharding(mesh, P(axis_name, None, None))
+        sh_v = NamedSharding(mesh, P(axis_name))
+        imgs = jax.make_array_from_process_local_data(
+            sh_b, jnp.asarray(batch.imgs), (global_batch_size, h, w)
+        )
+        tss = jax.make_array_from_process_local_data(
+            sh_v, jnp.asarray(batch.timestamps), (global_batch_size,)
+        )
+        rgs = (
+            jax.make_array_from_process_local_data(
+                sh_v, jnp.asarray(batch.ranges), (global_batch_size,)
+            )
+            if batch.ranges is not None
+            else None
+        )
+        yield imgs, tss, rgs
+
+
 def run_mono_vo_batch(
     mesh: Mesh,
     imgs: jax.Array,  # (B, T, H, W) — B independent streams
