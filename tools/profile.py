@@ -1,0 +1,256 @@
+"""Parameterized profiler for the ergo_uvo_tpu hot paths.
+
+Replaces the round-1..3 scratch profilers (profile_det*.py, profile_scan*.py,
+profile_stages.py, profile_ba.py, profile_clahe.py, profile_micro.py, ...)
+with one tool.  All timing is done in the production regime: the unit under
+test is scanned N times inside ONE jitted program, so per-call dispatch/RPC
+overhead does not pollute device-side cost (the trap the scratch profilers
+were written to bisect).
+
+Usage (any device; set JAX_PLATFORMS=cpu for host runs):
+  python tools/profile.py stages              # per-stage mono-loop breakdown
+  python tools/profile.py detector [--det SURF,ORB,SIFT,AKAZE]
+  python tools/profile.py scan [--frames 24]  # full mono step, scanned
+  python tools/profile.py ba                  # BA step sub-stage breakdown
+Options: --height/--width (default 480x640), --reps (default 3).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+
+def _scan_time(make_step, carry0, n, reps):
+    """Seconds per iteration of `step`, measured as a length-n lax.scan
+    inside one jitted program (compile excluded)."""
+    import jax
+
+    @jax.jit
+    def run(c):
+        c, _ = jax.lax.scan(lambda c, _: (make_step(c), None), c, None,
+                            length=n)
+        return c
+
+    out = run(carry0)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(carry0))
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
+def _frame(args, seed=0):
+    from ergo_uvo_tpu.io import make_mono_sequence
+
+    seq = make_mono_sequence(n_frames=2, height=args.height, width=args.width,
+                             seed=seed)
+    return seq
+
+
+def cmd_detector(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ergo_uvo_tpu.config import MonoVOConfig, SurfConfig
+    from ergo_uvo_tpu.features.frontend import detect_and_describe
+
+    seq = _frame(args)
+    img = jnp.asarray(seq.imgs_left[0])
+    for det in args.det.split(","):
+        cfg = MonoVOConfig(
+            feature_detector=det.strip().upper(),
+            surf=SurfConfig(min_hessian=60.0),
+            max_keypoints=512,
+        )
+
+        def step(c, cfg=cfg):
+            kp, ds = detect_and_describe(
+                c, cfg.surf, cfg.max_keypoints, cfg.feature_detector,
+                cfg.orb_threshold, cfg.sift_contrast_threshold,
+                cfg.sift_edge_threshold, akaze=cfg.akaze,
+            )
+            # fold results back into the carry so nothing is DCE'd
+            return c + 1e-6 * (jnp.sum(ds) + jnp.sum(kp.xy))
+
+        t0 = time.perf_counter()
+        s = _scan_time(lambda c, step=step: step(c), img, 8, args.reps)
+        print(f"{det:>6}: {1e3 * s:8.2f} ms/frame   "
+              f"(first call incl. compile: {time.perf_counter() - t0:.1f}s)")
+
+
+def cmd_stages(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ergo_uvo_tpu.config import MonoVOConfig, SurfConfig
+    from ergo_uvo_tpu.estimation.relative_pose import estimate_relative_pose
+    from ergo_uvo_tpu.features.frontend import detect_and_describe
+    from ergo_uvo_tpu.features.matcher import match_descriptors
+    from ergo_uvo_tpu.image import build_preprocess_plan, preprocess_frame
+    from ergo_uvo_tpu.geometry.camera import projection_matrix
+    from ergo_uvo_tpu.geometry.triangulation import (
+        filter_3d_points,
+        triangulate_points,
+    )
+
+    cfg = MonoVOConfig(surf=SurfConfig(min_hessian=60.0), max_keypoints=512,
+                       num_hypotheses=512)
+    seq = _frame(args)
+    img = jnp.asarray(seq.imgs_left[0])
+    K = jnp.asarray(seq.K)
+    plan = build_preprocess_plan(
+        seq.K.astype(np.float64), np.array([-0.05, 0.01, 0, 0.0]),
+        args.width, args.height, cfg.preprocessing.desired_width,
+        cfg.preprocessing.clahe, cfg.preprocessing.clip_limit,
+    )
+    kp, ds = jax.jit(
+        lambda im: detect_and_describe(
+            im, cfg.surf, cfg.max_keypoints, cfg.feature_detector,
+            cfg.orb_threshold, cfg.sift_contrast_threshold,
+            cfg.sift_edge_threshold, akaze=cfg.akaze,
+        )
+    )(img)
+    m = jax.jit(
+        lambda: match_descriptors(ds, kp.mask, ds, kp.mask,
+                                  cfg.lowe_ratio_test)
+    )()
+    xy1 = kp.xy
+    xy2 = kp.xy + 1.0
+    key = jax.random.PRNGKey(0)
+
+    rows = [
+        ("preprocess", lambda c: c + 1e-9 * jnp.sum(
+            preprocess_frame(plan, img + c))),
+        ("detect+describe", lambda c: c + 1e-9 * jnp.sum(detect_and_describe(
+            img + c, cfg.surf, cfg.max_keypoints, cfg.feature_detector,
+            cfg.orb_threshold, cfg.sift_contrast_threshold,
+            cfg.sift_edge_threshold, akaze=cfg.akaze)[1])),
+        ("match", lambda c: c + 1e-9 * jnp.sum(match_descriptors(
+            ds + c, kp.mask, ds, kp.mask, cfg.lowe_ratio_test).dist)),
+        ("relative_pose", lambda c: c + 1e-9 * jnp.sum(estimate_relative_pose(
+            key, xy1 + c, xy2, m.mask, K, cfg, jnp.eye(3), jnp.zeros(3)).t)),
+        ("triangulate+gate", lambda c: c + 1e-9 * jnp.sum(filter_3d_points(
+            triangulate_points(
+                projection_matrix(K, jnp.eye(3), jnp.zeros(3)),
+                projection_matrix(K, jnp.eye(3), jnp.ones(3) * 0.1),
+                xy1 + c, xy2),
+            m.mask, K, jnp.eye(3), jnp.zeros(3), K, jnp.eye(3),
+            jnp.ones(3) * 0.1, xy1, xy2, cfg.reprojection_threshold,
+            min_points=cfg.min_num_3d_points)[0])),
+    ]
+    for name, step in rows:
+        s = _scan_time(step, jnp.float32(0.0), 8, args.reps)
+        print(f"{name:>18}: {1e3 * s:8.2f} ms")
+
+
+def cmd_scan(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ergo_uvo_tpu.config import MonoVOConfig, SurfConfig
+    from ergo_uvo_tpu.io import make_mono_sequence
+    from ergo_uvo_tpu.pipeline.mono import mono_vo_init, mono_vo_step
+
+    cfg = MonoVOConfig(surf=SurfConfig(min_hessian=60.0), max_keypoints=512,
+                       num_hypotheses=512)
+    seq = make_mono_sequence(n_frames=args.frames, height=args.height,
+                             width=args.width, seed=1)
+    imgs = jnp.asarray(seq.imgs_left)
+    tss = jnp.asarray(seq.timestamps)
+    rgs = jnp.asarray(seq.ranges)
+    K = jnp.asarray(seq.K)
+
+    @jax.jit
+    def run(key):
+        keys = jax.random.split(key, imgs.shape[0])
+        state = mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim)
+
+        def step(c, inp):
+            im, ts, rg, k = inp
+            return mono_vo_step(c, im, ts, rg, K, k, cfg)
+
+        return jax.lax.scan(step, state, (imgs, tss, rgs, keys))
+
+    t0 = time.perf_counter()
+    _, outs = run(jax.random.PRNGKey(0))
+    jax.block_until_ready(outs.velocity)
+    print(f"compile+first: {time.perf_counter() - t0:.1f}s")
+    best = float("inf")
+    for r in range(args.reps):
+        t0 = time.perf_counter()
+        _, outs = run(jax.random.PRNGKey(r))
+        jax.block_until_ready(outs.velocity)
+        best = min(best, time.perf_counter() - t0)
+    print(f"steady: {args.frames / best:.1f} frames/s "
+          f"({1e3 * best / args.frames:.2f} ms/frame)")
+
+
+def cmd_ba(args):
+    import jax
+    import jax.numpy as jnp
+
+    from ergo_uvo_tpu.optim.ba import (
+        _jacobians,
+        _normal_equations,
+        _schur_solve,
+        reprojection_residuals,
+    )
+
+    rng = np.random.default_rng(0)
+    Pp, L = 8, 512
+    X = jnp.asarray(np.stack(
+        [rng.uniform(-3, 3, L), rng.uniform(-2, 2, L), rng.uniform(5, 9, L)],
+        -1).astype(np.float32))
+    K = jnp.asarray([[300.0, 0, 160], [0, 300, 120], [0, 0, 1]])
+    R = jnp.tile(jnp.eye(3), (Pp, 1, 1))
+    t = jnp.asarray(np.stack(
+        [[0.25 * p, 0, 0] for p in range(Pp)]).astype(np.float32))
+    obs = jnp.einsum("pij,lj->pli", R, X) + t[:, None]
+    obs = obs[..., :2] / obs[..., 2:] * jnp.asarray([300.0, 300.0]) + \
+        jnp.asarray([160.0, 120.0])
+    mask = jnp.ones((Pp, L), bool)
+
+    def residuals(c):
+        r, pc, iz = reprojection_residuals(K, R, t, X + c, obs, mask)
+        return c + 1e-9 * jnp.sum(r)
+
+    def full(c):
+        r, pc, iz = reprojection_residuals(K, R, t, X + c, obs, mask)
+        Jp, Jl = _jacobians(K, R, pc, iz, mask)
+        H_pp, H_ll, H_pl, b_p, b_l = _normal_equations(Jp, Jl, r)
+        dp, dl = _schur_solve(H_pp, H_ll, H_pl, b_p, b_l,
+                              jnp.float32(1e-3), 2)
+        return c + 1e-9 * (jnp.sum(dp) + jnp.sum(dl))
+
+    for name, step in (("residuals", residuals), ("full LM step", full)):
+        s = _scan_time(step, jnp.float32(0.0), 16, args.reps)
+        print(f"{name:>14}: {1e3 * s:8.3f} ms")
+
+
+def main():
+    p = argparse.ArgumentParser(prog="tools/profile.py")
+    p.add_argument("cmd", choices=["stages", "detector", "scan", "ba"])
+    p.add_argument("--det", default="SURF,ORB,SIFT,AKAZE")
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--reps", type=int, default=3)
+    args = p.parse_args()
+    {"stages": cmd_stages, "detector": cmd_detector, "scan": cmd_scan,
+     "ba": cmd_ba}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()
