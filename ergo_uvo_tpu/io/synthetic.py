@@ -178,6 +178,7 @@ def make_loop_sequence(
     closure_gap: float = 0.8,
     seed: int = 0,
     tex_scale: float = 60.0,
+    baseline: float | None = None,
 ) -> SyntheticSequence:
     """Closed-loop survey: the camera translates along a circle (constant
     downward orientation) and the last frame returns to within `closure_gap`
@@ -185,6 +186,8 @@ def make_loop_sequence(
     (BASELINE configs[3]; the reference has no loop closure, SURVEY.md §0).
 
     Constant orientation keeps retrieval appearance-stable for upright SURF.
+    With `baseline` set, right-eye frames are rendered too (camera offset
+    along camera +x, identity rig rotation) — the stereo loop fixture.
     """
     K = np.array(
         [[0.9 * width, 0, width / 2], [0, 0.9 * width, height / 2], [0, 0, 1.0]]
@@ -202,10 +205,20 @@ def make_loop_sequence(
     imgs = np.stack(
         [render_frame(tex, K, Rs[i], C[i], height, width, tex_scale) for i in range(n_frames)]
     )
+    imgs_right = None
+    if baseline is not None:
+        imgs_right = np.stack([
+            render_frame(
+                tex, K, Rs[i],
+                C[i] + Rs[i].T @ np.array([baseline, 0.0, 0.0]),
+                height, width, tex_scale,
+            )
+            for i in range(n_frames)
+        ]).astype(np.float32)
     ranges = np.full(n_frames, depth, np.float32)
     return SyntheticSequence(
         imgs_left=imgs.astype(np.float32),
-        imgs_right=None,
+        imgs_right=imgs_right,
         timestamps=ts.astype(np.float32),
         ranges=ranges,
         positions=C.astype(np.float32),

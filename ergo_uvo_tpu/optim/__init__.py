@@ -26,7 +26,9 @@ from ergo_uvo_tpu.optim.trajectory import (  # noqa: F401
     BATrajectoryResult,
     PoseGraphResult,
     close_loops_and_optimize,
+    close_loops_and_optimize_stereo,
     integrate_mono_poses,
     refine_mono_trajectory,
     verify_loop_candidate,
+    verify_loop_candidate_pnp,
 )

@@ -102,10 +102,14 @@ def refine_mono_trajectory(
     """Sliding-window BA over VO keyframes; returns the corrected trajectory.
 
     `outs` is the :class:`ergo_uvo_tpu.pipeline.mono.MonoFrameOutput` stack
-    from `run_mono_vo`.  Keyframes are every `keyframe_stride`-th published
-    frame; each full window is refined once and corrections chain forward
-    (new keyframes enter composed onto the refined previous keyframe, so raw
-    VO drift does not fight the optimizer).
+    from `run_mono_vo` — or a ``StereoFrameOutput`` stack: stereo publishes
+    the same prev-cam displacement convention and carries native metric
+    scale, so the identical integration + window refinement applies (pass
+    the LEFT frames and K_left; the StereoVOConfig shares every field read
+    here).  Keyframes are every `keyframe_stride`-th published frame; each
+    full window is refined once and corrections chain forward (new keyframes
+    enter composed onto the refined previous keyframe, so raw VO drift does
+    not fight the optimizer).
     """
     velocities = np.asarray(outs.velocity)
     rots = np.asarray(outs.R)
@@ -338,7 +342,14 @@ def close_loops_and_optimize(
                 LoopClosure(i, j, np.asarray(R_rel), np.asarray(t_rel), int(n_inl))
             )
 
-    # ---- build the pose graph: sequential odometry edges + loop edges.
+    return _optimize_with_loops(R_wc, t_wc, loops, loop_weight, iters)
+
+
+def _optimize_with_loops(R_wc, t_wc, loops, loop_weight, iters):
+    """Build the pose graph (sequential odometry edges + verified loop edges)
+    and optimize it — the shared tail of the mono and stereo loop-closure
+    drivers."""
+    T = len(R_wc)
     n_seq = T - 1
     E = n_seq + max(len(loops), 1)
     ei = np.zeros(E, np.int32)
@@ -368,3 +379,152 @@ def close_loops_and_optimize(
     R_o, t_o = np.asarray(opt.R), np.asarray(opt.t)
     positions = -np.einsum("tij,ti->tj", R_o.transpose(0, 2, 1), t_o)
     return PoseGraphResult(positions=positions, loops=loops, costs=np.asarray(costs))
+
+
+def _stereo_frame_landmarks(kpts_l, desc_l, kpts_r, desc_r, rig, cfg, binary):
+    """Stereo-match one L/R pair and triangulate: returns (X (K,3) in the
+    left frame aligned on left-keypoint slots, valid mask) — the per-keyframe
+    landmark set the stereo loop verifier PnPs against (the same construction
+    as the stereo pipeline's previous-pair triangulation, stereo.py:133-146).
+    """
+    from ergo_uvo_tpu.geometry.camera import projection_matrix as _pm
+    from ergo_uvo_tpu.geometry.triangulation import (
+        filter_3d_points as _f3d,
+        triangulate_points as _tp,
+    )
+
+    sm = match_descriptors(desc_l, kpts_l.mask, desc_r, kpts_r.mask,
+                           cfg.lowe_ratio_test, binary=binary)
+    xy_r = jnp.take(kpts_r.xy, sm.idx, axis=0)
+    eye3 = jnp.eye(3, dtype=jnp.float32)
+    zero3 = jnp.zeros(3, jnp.float32)
+    P1 = _pm(rig.K_left, eye3, zero3)
+    P2 = _pm(rig.K_right, rig.R_right, rig.t_right)
+    X = _tp(P1, P2, kpts_l.xy, xy_r)
+    good, _ = _f3d(
+        X, sm.mask, rig.K_left, eye3, zero3, rig.K_right, rig.R_right,
+        rig.t_right, kpts_l.xy, xy_r, cfg.reprojection_threshold,
+        min_points=cfg.min_num_3d_points,
+    )
+    return X, good
+
+
+def verify_loop_candidate_pnp(
+    key,
+    X_i, mask3d_i, desc_i,
+    xy_j, mask_j, desc_j,
+    K, cfg,
+    lowe_ratio: float = 0.8,
+    min_inliers: int = 20,
+    binary: bool = False,
+):
+    """Stereo loop verification: PnP the keyframe-i stereo landmarks against
+    keyframe-j left pixels.  Stereo landmarks carry NATIVE metric scale, so
+    the loop edge needs no range scaling (unlike the mono essential-based
+    verifier above).  Returns (ok, R_rel, t_rel, n_inliers) with
+    x_j = R_rel x_i + t_rel.
+    """
+    from ergo_uvo_tpu.estimation.pnp import solve_pnp_ransac as _pnp
+
+    m = match_descriptors(desc_i, mask3d_i, desc_j, mask_j, lowe_ratio,
+                          binary=binary)
+    xy_obs = jnp.take(xy_j, m.idx, axis=0)
+    pnp = _pnp(
+        key, X_i, xy_obs, m.mask & mask3d_i, K,
+        cfg.reprojection_error, cfg.num_hypotheses,
+        min_inliers=min_inliers,
+    )
+    n_inl = jnp.sum(pnp.inliers.astype(jnp.int32))
+    ok = pnp.success & (n_inl >= min_inliers)
+    return ok, pnp.R, pnp.t, n_inl
+
+
+def close_loops_and_optimize_stereo(
+    imgs_l,
+    imgs_r,
+    R_wc,
+    t_wc,
+    rig,
+    cfg,
+    key=None,
+    min_gap: int = 10,
+    top_k: int = 8,
+    min_similarity: float = 0.85,
+    loop_weight: float = 10.0,
+    iters: int = 25,
+    min_inliers: int = 20,
+) -> PoseGraphResult:
+    """Stereo loop-closure pipeline (BASELINE configs[3], stereo mode).
+
+    Same retrieval as the mono driver (masked mean descriptor + cosine
+    similarity over left-eye descriptors), but candidates verify through
+    PnP against stereo-triangulated landmarks — metric loop edges with no
+    range sensor involved (stereo's native scale, visual_odometry.h:647).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    T = len(imgs_l)
+    R_wc = np.asarray(R_wc)
+    t_wc = np.asarray(t_wc)
+
+    binary = cfg.feature_detector.upper() in ("ORB", "AKAZE")
+    det = jax.jit(
+        lambda im: detect_and_describe(
+            im, cfg.surf, cfg.max_keypoints, cfg.feature_detector,
+            orb_threshold=cfg.orb_threshold,
+            sift_contrast_threshold=cfg.sift_contrast_threshold,
+            sift_edge_threshold=cfg.sift_edge_threshold,
+            akaze=cfg.akaze,
+        )
+    )
+    landmarks = jax.jit(
+        lambda kl, dl, kr, dr: _stereo_frame_landmarks(
+            kl, dl, kr, dr, rig, cfg, binary
+        )
+    )
+    kpts_all, desc_all, X_all, m3d_all = [], [], [], []
+    for f in range(T):
+        kl, dl = det(jnp.asarray(imgs_l[f]))
+        kr, dr = det(jnp.asarray(imgs_r[f]))
+        X, good = landmarks(kl, dl, kr, dr)
+        kpts_all.append(kl)
+        desc_all.append(dl)
+        X_all.append(X)
+        m3d_all.append(good)
+    desc_stack = jnp.stack(desc_all)
+    mask_stack = jnp.stack([k.mask for k in kpts_all])
+    gdesc = global_descriptor(desc_stack, mask_stack)
+    pairs, scores, valid = detect_loop_closures(
+        gdesc, min_gap=min_gap, top_k=top_k, min_similarity=min_similarity
+    )
+    pairs, valid = np.asarray(pairs), np.asarray(valid)
+
+    verify = jax.jit(
+        lambda key, Xi, m3i, di, kj_xy, kj_m, dj: verify_loop_candidate_pnp(
+            key, Xi, m3i, di, kj_xy, kj_m, dj, rig.K_left, cfg,
+            lowe_ratio=cfg.lowe_ratio_test, min_inliers=min_inliers,
+            binary=binary,
+        )
+    )
+
+    loops: list[LoopClosure] = []
+    seen = set()
+    for c in range(len(pairs)):
+        if not valid[c]:
+            continue
+        i, j = int(pairs[c, 0]), int(pairs[c, 1])
+        if (i, j) in seen:
+            continue
+        seen.add((i, j))
+        key, sub = jax.random.split(key)
+        ok, R_rel, t_rel, n_inl = verify(
+            sub, X_all[i], m3d_all[i], desc_all[i],
+            kpts_all[j].xy, kpts_all[j].mask, desc_all[j],
+        )
+        if bool(ok):
+            loops.append(
+                LoopClosure(i, j, np.asarray(R_rel), np.asarray(t_rel),
+                            int(n_inl))
+            )
+
+    return _optimize_with_loops(R_wc, t_wc, loops, loop_weight, iters)
