@@ -34,6 +34,43 @@ def hypotheses_for_confidence(
     return int(math.ceil(math.log(1.0 - confidence) / math.log(1.0 - p_good)))
 
 
+def implied_inlier_rate(
+    confidence: float, budget: int, model_points: int
+) -> float:
+    """Invert the RANSAC budget formula: the inlier rate a budget of
+    `budget` minimal sets (size `model_points`) is sized for at `confidence`
+    — i.e. the harshest regime the budget still covers."""
+    conf = min(max(confidence, 0.5), 1.0 - 1e-9)
+    p_good = 1.0 - (1.0 - conf) ** (1.0 / max(budget, 1))
+    return p_good ** (1.0 / model_points)
+
+
+def derive_hypothesis_budget(
+    confidence: float,
+    reference_max_iters: int,
+    model_points: int = 8,
+    reference_model_points: int = 5,
+    floor: int = 512,
+    cap: int = 2048,
+) -> int:
+    """Map the reference's sequential-RANSAC budget onto our batched sampler.
+
+    The YAML's ``essential_max_iters`` (VO_utility.cpp:476, default 2000)
+    budgets OpenCV's 5-point engine; our batched solver draws `model_points`
+    sets.  Recover the outlier regime the reference budget was sized for
+    (``implied_inlier_rate`` at m=5), re-derive the count for our set size,
+    then clamp to [floor, cap] — the count is a jit-static shape, the cap
+    bounds compile time/memory, and LO-style polish + all-hypothesis scoring
+    cover the tail the cap cuts off.  Rounded up to a multiple of 256 for
+    MXU-friendly batching.
+    """
+    rate = implied_inlier_rate(confidence, reference_max_iters,
+                               reference_model_points)
+    n = hypotheses_for_confidence(confidence, 1.0 - rate, model_points)
+    n = max(floor, min(cap, n))
+    return int(-(-n // 256) * 256)
+
+
 def sample_minimal_sets(
     key: jax.Array,
     mask: jax.Array,

@@ -100,7 +100,10 @@ def _contrast_factor(img: jax.Array, percentile: float = 70.0) -> jax.Array:
     (paper §3.2; OpenCV uses a 300-bin histogram — a sort is exact)."""
     gx, gy = _grad(_gaussian_blur(img, SIGMA0))
     mag = jnp.sqrt(gx * gx + gy * gy).reshape(-1)
-    k = jnp.percentile(jnp.where(mag > 1e-8, mag, jnp.nan), percentile)
+    # nanpercentile ignores the NaN-masked flat pixels; plain percentile would
+    # return NaN whenever ANY pixel is flat, silently collapsing k to the
+    # fallback (ADVICE r3).  nan_to_num now only covers all-flat images.
+    k = jnp.nanpercentile(jnp.where(mag > 1e-8, mag, jnp.nan), percentile)
     return jnp.maximum(jnp.nan_to_num(k, nan=0.01), 1e-3)
 
 

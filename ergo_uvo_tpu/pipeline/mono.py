@@ -216,6 +216,7 @@ def run_mono_vo_streaming(
     chunk_size: int = 16,
     state: MonoVOState | None = None,
     chunk_callback=None,
+    timings: list | None = None,
 ):
     """Stream a :class:`ergo_uvo_tpu.io.sequence.FrameSource` through mono VO.
 
@@ -224,11 +225,19 @@ def run_mono_vo_streaming(
     host threads (the native prefetch ring) — frames never bulk-materialize.
     Returns (final_state, outputs stacked over all streamed frames).
 
-    `chunk_callback(frames_done, state, chunks, next_key)` fires after every
-    chunk with the carried VO state, the list of per-chunk output pytrees
-    (numpy), and the PRNG key the NEXT chunk will split — exactly the payload
-    a crash-resumable checkpoint needs (utils.checkpoint.save_stream_checkpoint).
+    `chunk_callback(frames_done, state, chunk_out, next_key)` fires after
+    every chunk with the carried VO state, THIS chunk's output pytree (numpy
+    — only the new frames, so a checkpointer appends O(chunk) bytes instead
+    of re-writing history, ADVICE r3), and the PRNG key the NEXT chunk will
+    split — exactly the payload a crash-resumable checkpoint needs
+    (utils.checkpoint.save_stream_head / append_stream_segment).
+
+    `timings` (optional list) collects one `(n_frames, seconds)` entry per
+    chunk — the first entry includes XLA compile, the rest are steady-state;
+    the CLI derives `{compile_s, steady_fps}` from it.
     """
+    import time
+
     import numpy as np
 
     from ergo_uvo_tpu.image.preprocess import preprocess_frame
@@ -251,6 +260,7 @@ def run_mono_vo_streaming(
     chunks = []
     frames_done = 0
     for batch in source.batches(chunk_size):
+        t0 = time.perf_counter()
         key, sub = jax.random.split(key)
         imgs = pre(jnp.asarray(batch.imgs))
         rgs = (
@@ -261,9 +271,11 @@ def run_mono_vo_streaming(
         state, outs = run_chunk(state, imgs, jnp.asarray(batch.timestamps),
                                 rgs, sub)
         chunks.append(jax.tree.map(np.asarray, outs))
+        if timings is not None:
+            timings.append((int(imgs.shape[0]), time.perf_counter() - t0))
         frames_done += int(imgs.shape[0])
         if chunk_callback is not None:
-            chunk_callback(frames_done, state, chunks, key)
+            chunk_callback(frames_done, state, chunks[-1], key)
     if not chunks:
         raise ValueError("source yielded no complete chunks")
     outputs = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)

@@ -206,6 +206,7 @@ def run_stereo_vo_streaming(
     chunk_size: int = 16,
     state: StereoVOState | None = None,
     chunk_callback=None,
+    timings: list | None = None,
 ):
     """Stream synced L/R frame batches through stereo VO chunk by chunk.
 
@@ -217,9 +218,11 @@ def run_stereo_vo_streaming(
     `stereo_vo_step` as one XLA program per chunk.  Returns
     (final_state, outputs stacked over all streamed frames).
 
-    `chunk_callback(frames_done, state, chunks, next_key)` — see
-    :func:`ergo_uvo_tpu.pipeline.mono.run_mono_vo_streaming`.
+    `chunk_callback(frames_done, state, chunk_out, next_key)` and `timings`
+    — see :func:`ergo_uvo_tpu.pipeline.mono.run_mono_vo_streaming`.
     """
+    import time
+
     import numpy as np
 
     from ergo_uvo_tpu.image.preprocess import preprocess_frame
@@ -246,15 +249,18 @@ def run_stereo_vo_streaming(
         if batch.imgs_right is None:
             raise ValueError("stereo streaming needs a paired source "
                              "(FrameBatch.imgs_right is None)")
+        t0 = time.perf_counter()
         key, sub = jax.random.split(key)
         imgs_l = pre_l(jnp.asarray(batch.imgs))
         imgs_r = pre_r(jnp.asarray(batch.imgs_right))
         state, outs = run_chunk(state, imgs_l, imgs_r,
                                 jnp.asarray(batch.timestamps), sub)
         chunks.append(jax.tree.map(np.asarray, outs))
+        if timings is not None:
+            timings.append((int(imgs_l.shape[0]), time.perf_counter() - t0))
         frames_done += int(imgs_l.shape[0])
         if chunk_callback is not None:
-            chunk_callback(frames_done, state, chunks, key)
+            chunk_callback(frames_done, state, chunks[-1], key)
     if not chunks:
         raise ValueError("source yielded no complete chunks")
     outputs = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)

@@ -49,6 +49,94 @@ def save_stream_checkpoint(path: str, payload: Any) -> None:
     os.replace(tmp, path)
 
 
+def save_stream_head(
+    path: str,
+    frames_done: int,
+    state: Any,
+    key,
+    n_segments: int,
+    n_real: int,
+    chunk_size: int,
+) -> None:
+    """Write the small streaming-run head file (atomic tmp+rename).
+
+    The head carries resume accounting (`frames_done` counts REAL frames —
+    never pad duplicates), the carried VO state + PRNG key, and the number of
+    output segments written so far.  Per-frame outputs live in append-only
+    segment files (:func:`append_stream_segment`), so each checkpoint writes
+    O(new frames) bytes instead of rewriting the whole history.
+    """
+    import numpy as np
+
+    path = os.path.abspath(path)
+    leaves, _ = jax.tree.flatten(state)
+    payload = {f"state_{i:04d}": np.asarray(l) for i, l in enumerate(leaves)}
+    payload["key"] = np.asarray(key)
+    payload["frames_done"] = np.int64(frames_done)
+    payload["n_segments"] = np.int64(n_segments)
+    payload["n_real"] = np.int64(n_real)
+    payload["chunk_size"] = np.int64(chunk_size)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+
+
+def _segment_path(path: str, index: int) -> str:
+    return f"{os.path.abspath(path)}.seg{index:04d}.npz"
+
+
+def append_stream_segment(path: str, index: int, outs: Any) -> None:
+    """Write per-frame outputs for one checkpoint interval as segment `index`.
+
+    Written atomically BEFORE the head that references it: a crash between the
+    two leaves a head pointing at the previous segment count, and the orphan
+    segment is simply overwritten on the next run.
+    """
+    import numpy as np
+
+    leaves, _ = jax.tree.flatten(outs)
+    seg = _segment_path(path, index)
+    tmp = seg + ".tmp.npz"
+    np.savez(tmp, **{f"leaf_{i:04d}": np.asarray(l) for i, l in enumerate(leaves)})
+    os.replace(tmp, seg)
+
+
+def load_stream_run(path: str, state_example: Any, outs_example: Any):
+    """Restore a segmented streaming checkpoint.
+
+    Returns ``(frames_done, state, outs | None, key, meta)`` where `outs` is
+    the per-frame output pytree concatenated across all referenced segments
+    (None when no segment was persisted yet) and `meta` is
+    ``{"n_real", "chunk_size", "n_segments"}`` for resume validation — the
+    caller may stream the remaining frames with ANY chunk size since
+    `frames_done` refers to real frames only (ADVICE r3).
+    """
+    import numpy as np
+
+    path = os.path.abspath(path)
+    data = np.load(path)
+    s_leaves, s_def = jax.tree.flatten(state_example)
+    state = jax.tree.unflatten(
+        s_def, [data[f"state_{i:04d}"] for i in range(len(s_leaves))]
+    )
+    meta = {
+        "n_real": int(data["n_real"]),
+        "chunk_size": int(data["chunk_size"]),
+        "n_segments": int(data["n_segments"]),
+    }
+    o_leaves, o_def = jax.tree.flatten(outs_example)
+    outs = None
+    if meta["n_segments"] > 0:
+        segs = []
+        for s in range(meta["n_segments"]):
+            seg = np.load(_segment_path(path, s))
+            segs.append([seg[f"leaf_{i:04d}"] for i in range(len(o_leaves))])
+        outs = jax.tree.unflatten(
+            o_def, [np.concatenate([seg[i] for seg in segs]) for i in range(len(o_leaves))]
+        )
+    return int(data["frames_done"]), state, outs, data["key"], meta
+
+
 def load_stream_checkpoint(path: str, example: Any) -> Any:
     """Restore a :func:`save_stream_checkpoint` pytree.
 

@@ -283,3 +283,51 @@ class TestCheckpointResume:
                 "--ranges", str(root / "ranges.txt"),
                 "--resume", "--out", str(tmp_path / "x.jsonl"),
             ])
+
+
+@pytest.mark.fast
+class TestTimestamps:
+    """Real timestamps + stereo stamp-sync (VERDICT r3 missing #3) — pure
+    host-side plumbing, no compiles."""
+
+    def test_pair_by_timestamp_nearest_with_skew_drop(self):
+        tss_l = np.array([0.00, 0.10, 0.20, 0.30, 0.40])
+        # right stream: jittered, one frame missing around t=0.20
+        tss_r = np.array([0.01, 0.11, 0.31, 0.41])
+        li, ri = cli._pair_by_timestamp(tss_l, tss_r, max_skew=0.02)
+        np.testing.assert_array_equal(li, [0, 1, 3, 4])
+        np.testing.assert_array_equal(ri, [0, 1, 2, 3])
+
+    def test_pair_consumes_each_right_once(self):
+        tss_l = np.array([0.0, 0.001, 0.002])
+        tss_r = np.array([0.0])
+        li, ri = cli._pair_by_timestamp(tss_l, tss_r, max_skew=0.01)
+        assert len(li) == 1 and li[0] == 0 and ri[0] == 0
+
+    def test_load_timestamps_validates_length(self, tmp_path):
+        f = tmp_path / "tss.txt"
+        np.savetxt(f, [0.0, 0.1])
+        with pytest.raises(SystemExit, match="2 entries for 5"):
+            cli._load_timestamps(str(f), 5)
+
+    def test_load_timestamps_validates_monotonic(self, tmp_path):
+        f = tmp_path / "tss.txt"
+        np.savetxt(f, [0.0, 0.2, 0.1])
+        with pytest.raises(SystemExit, match="non-decreasing"):
+            cli._load_timestamps(str(f), 3)
+
+    def test_mono_timestamps_flag_rejects_short_file(self, mono_dataset,
+                                                     tmp_path):
+        root, _ = mono_dataset
+        short = tmp_path / "tss.txt"
+        np.savetxt(short, [0.0, 0.1, 0.2])
+        with pytest.raises(SystemExit, match="3 entries for 11"):
+            cli.main([
+                "mono", "--params", str(root / "params.yaml"),
+                "--intrinsics", str(root / "intrinsics.yaml"),
+                "--camera", "test_camera",
+                "--frames", str(root / "frames"),
+                "--ranges", str(root / "ranges.txt"),
+                "--timestamps", str(short),
+                "--out", str(tmp_path / "x.jsonl"),
+            ])

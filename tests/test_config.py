@@ -22,9 +22,10 @@ def _have_reference():
     return os.path.isdir(REF)
 
 
-pytestmark = pytest.mark.skipif(
-    not _have_reference(), reason="reference configs not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(not _have_reference(), reason="reference configs not mounted"),
+    pytest.mark.fast,  # smoke tier: pure YAML loading, no compiles
+]
 
 
 def test_mono_params_load():

@@ -17,6 +17,8 @@ from ergo_uvo_tpu.geometry import (
 )
 from ergo_uvo_tpu.utils import draw_matches, dump_matches
 
+pytestmark = pytest.mark.fast  # smoke tier: small shapes, cheap compiles
+
 
 class TestGeodesy:
     def test_roundtrip_ll_ne(self):

@@ -41,6 +41,8 @@ from ergo_uvo_tpu.geometry import (
 )
 from ergo_uvo_tpu.geometry.camera import PinholeCamera
 
+pytestmark = pytest.mark.fast  # smoke tier: small shapes, cheap compiles
+
 RNG = np.random.default_rng(0)
 
 

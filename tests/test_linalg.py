@@ -5,6 +5,9 @@ import numpy as np
 
 from ergo_uvo_tpu.geometry.linalg import inv33, jacobi_eigh, polar_so3, smallest_eigvec
 from ergo_uvo_tpu.geometry.rotations import is_rotation_matrix, so3_exp
+import pytest
+
+pytestmark = pytest.mark.fast  # smoke tier: small shapes, cheap compiles
 
 RNG = np.random.default_rng(0)
 

@@ -6,6 +6,9 @@ import numpy as np
 
 from ergo_uvo_tpu.estimation.p3p import _cubic_real_roots, p3p
 from ergo_uvo_tpu.geometry.rotations import so3_exp
+import pytest
+
+pytestmark = pytest.mark.fast  # smoke tier: small shapes, cheap compiles
 
 RNG = np.random.default_rng(0)
 

@@ -7,6 +7,8 @@ through the out-of-order native prefetch ring.
 
 import os
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -147,9 +149,14 @@ def test_stream_checkpoint_resume_bitexact(tmp_path):
     K = jnp.asarray(seq.K)
     ckpt = str(tmp_path / "stream.npz")
 
-    # Uninterrupted run (checkpointing every chunk as a side effect).
-    def cb(frames_done, state, chunks, key):
-        outs = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
+    # Uninterrupted run (checkpointing every chunk as a side effect).  The
+    # pipeline hands the callback ONLY the new chunk (ADVICE r3: O(chunk)
+    # checkpoint IO); this test accumulates locally to keep the flat format.
+    acc = []
+
+    def cb(frames_done, state, chunk, key):
+        acc.append(chunk)
+        outs = jax.tree.map(lambda *xs: np.concatenate(xs), *acc)
         save_stream_checkpoint(
             ckpt,
             (np.int64(frames_done), jax.tree.map(np.asarray, state), outs,
@@ -157,10 +164,9 @@ def test_stream_checkpoint_resume_bitexact(tmp_path):
         )
 
     src = ArraySource(seq.imgs_left, seq.timestamps, ranges=seq.ranges)
-    snapshots = {}
 
-    def cb_capture(frames_done, state, chunks, key):
-        cb(frames_done, state, chunks, key)
+    def cb_capture(frames_done, state, chunk, key):
+        cb(frames_done, state, chunk, key)
         if frames_done == 10:  # keep the mid-run checkpoint bytes
             import shutil
 
@@ -197,3 +203,89 @@ def test_stream_checkpoint_resume_bitexact(tmp_path):
             np.asarray(getattr(full, name)), np.asarray(getattr(resumed, name)),
             err_msg=name,
         )
+
+
+@pytest.mark.fast
+def test_segmented_checkpoint_roundtrip_and_chunk_change(tmp_path):
+    """Segmented stream checkpoints (ADVICE r3): segments append O(chunk)
+    bytes, pad rows are trimmed before persisting, and a resume may use a
+    DIFFERENT --chunk-size because frames_done counts real frames only."""
+    from ergo_uvo_tpu.pipeline.mono import MonoFrameOutput, mono_vo_init
+    from ergo_uvo_tpu.utils.checkpoint import (
+        append_stream_segment,
+        load_stream_run,
+        save_stream_head,
+    )
+
+    cfg = MonoVOConfig(
+        surf=SurfConfig(min_hessian=60.0), max_keypoints=128, num_hypotheses=64
+    )
+    state = mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim)
+    ckpt = str(tmp_path / "run.npz")
+
+    def fake_outs(n, base):
+        return MonoFrameOutput(*[
+            np.full((n,), base + i, np.float32)
+            for i in range(len(MonoFrameOutput._fields))
+        ])
+
+    # Two segments of 4 + 3 real frames (the second trimmed from a padded
+    # 4-frame chunk by the writer), head says 7 real frames done.
+    append_stream_segment(ckpt, 0, fake_outs(4, 0.0))
+    append_stream_segment(ckpt, 1, fake_outs(3, 100.0))
+    save_stream_head(ckpt, 7, jax.tree.map(np.asarray, state),
+                     np.zeros(2, np.uint32), 2, n_real=10, chunk_size=4)
+
+    fd, st, outs, key, meta = load_stream_run(
+        ckpt, state,
+        MonoFrameOutput(*([np.zeros(0)] * len(MonoFrameOutput._fields))),
+    )
+    assert fd == 7
+    assert meta == {"n_real": 10, "chunk_size": 4, "n_segments": 2}
+    assert outs.velocity.shape == (7,)
+    np.testing.assert_array_equal(outs.velocity[:4], 0.0)
+    np.testing.assert_array_equal(outs.velocity[4:], 100.0)
+    # State round-trips structurally.
+    assert st.prev_xy.shape == state.prev_xy.shape
+
+
+@pytest.mark.fast
+def test_cli_ckpt_cb_trims_pads_and_buffers(tmp_path):
+    """The CLI chunk callback must trim tail pad rows and honor
+    --checkpoint-every buffering (pending chunks merge into one segment)."""
+    from ergo_uvo_tpu import cli
+    from ergo_uvo_tpu.pipeline.mono import MonoFrameOutput, mono_vo_init
+    from ergo_uvo_tpu.utils.checkpoint import load_stream_run
+
+    cfg = MonoVOConfig(max_keypoints=64)
+    state = mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim)
+    ckpt = str(tmp_path / "cb.npz")
+    # n_real=10 streamed from start=0 in chunks of 4 -> 12 padded rows.
+    cb = cli._make_stream_ckpt_cb(ckpt, every=2, n_real=10, chunk_size=4,
+                                  start=0, n_segments=0)
+
+    def chunk(n, base):
+        return MonoFrameOutput(*[
+            np.full((n,), base, np.float32)
+            for _ in range(len(MonoFrameOutput._fields))
+        ])
+
+    key = np.zeros(2, np.uint32)
+    cb(4, state, chunk(4, 1.0), key)    # buffered
+    cb(8, state, chunk(4, 2.0), key)    # segment 0 = frames 0..7
+    cb(12, state, chunk(4, 3.0), key)   # buffered (trimmed to 2 real rows)
+    # Head after the 2nd call: 8 real frames in 1 segment.
+    fd, _, outs, _, meta = load_stream_run(
+        ckpt, state,
+        MonoFrameOutput(*([np.zeros(0)] * len(MonoFrameOutput._fields))),
+    )
+    assert fd == 8 and meta["n_segments"] == 1
+    assert outs.velocity.shape == (8,)
+    cb(16, state, chunk(4, 4.0), key)   # pure pad -> nothing kept; head final
+    fd, _, outs, _, meta = load_stream_run(
+        ckpt, state,
+        MonoFrameOutput(*([np.zeros(0)] * len(MonoFrameOutput._fields))),
+    )
+    assert fd == 10 and meta["n_segments"] == 2
+    assert outs.velocity.shape == (10,)
+    np.testing.assert_array_equal(outs.velocity[8:], 3.0)

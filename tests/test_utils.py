@@ -12,6 +12,8 @@ from ergo_uvo_tpu.pipeline import mono_vo_init
 from ergo_uvo_tpu.utils import FrameRateCounter, RunRecorder, stage
 from ergo_uvo_tpu.utils.checkpoint import restore_state, save_state
 
+pytestmark = pytest.mark.fast  # smoke tier: small shapes, cheap compiles
+
 
 class TestCheckpoint:
     def test_roundtrip_mono_state(self, tmp_path):
