@@ -32,6 +32,35 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
+def two_point_rate(timed, units_per_rep, reps_lo=3, reps_hi=13,
+                   min_window=1.0, max_reps=600):
+    """Units/s from a two-point chained-execution fit.
+
+    On the axon TPU tunnel `jax.block_until_ready` is a NO-OP and each
+    dispatch + the final host fetch carry seconds of fixed RPC overhead (r4
+    calibration: ~2.5 s fixed, 0.17 s true device time per 32-frame scan) —
+    single-shot wall timing measures the tunnel, not the chip.  `timed(reps)`
+    must run `reps` executions CHAINED by a data dependency (each rep's input
+    derived from the previous rep's output, so they serialize on-device) and
+    end with ONE tiny fetch; the fixed overhead then cancels in
+    (timed(hi) - timed(lo)) and the slope is honest device throughput.  On
+    platforms with a working block_until_ready the chaining is equivalent to
+    the usual timing.
+
+    `reps_hi` doubles until the timing window (t_hi - t_lo) reaches
+    `min_window` seconds, so fast kernels are not reported through RPC jitter
+    (a fixed rep pair made the BA line read 3e11 iters/s when the window
+    collapsed below noise).
+    """
+    t_lo = timed(reps_lo)
+    while True:
+        t_hi = timed(reps_hi)
+        if t_hi - t_lo >= min_window or reps_hi >= max_reps:
+            break
+        reps_hi *= 2
+    return units_per_rep * (reps_hi - reps_lo) / max(t_hi - t_lo, 1e-9)
+
+
 def emit(metric, value, unit, vs_baseline):
     print(
         json.dumps(
@@ -94,12 +123,18 @@ def bench_ba_iters(jax, jnp):
     # window driver jits its refine call the same way).
     solve = jax.jit(lambda R, t, X: ba_solve(prob, R, t, X, iters=iters)[1])
     Rd, td, Xd = jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(X0)
-    jax.block_until_ready(solve(Rd, td, Xd))  # compile
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        jax.block_until_ready(solve(Rd, td, Xd))
-    ips = iters * reps / (time.perf_counter() - t0)
+    np.asarray(solve(Rd, td, Xd)[-1])  # compile + sync
+
+    def timed(reps):
+        t0 = time.perf_counter()
+        X = Xd
+        for _ in range(reps):
+            costs = solve(Rd, td, X)
+            X = Xd + 0.0 * costs[-1]  # chain reps on-device
+        np.asarray(costs[-1])
+        return time.perf_counter() - t0
+
+    ips = two_point_rate(timed, iters)
     emit("ba_iters_per_second_8x512", ips, "iters/s", 1.0)
 
 
@@ -126,14 +161,20 @@ def bench_stereo(jax, jnp):
     def run(il, ir, tss, key):
         return run_stereo_vo(il, ir, tss, rig, cfg, key)
 
-    state, outs = run(il, ir, tss, jax.random.PRNGKey(0))
-    jax.block_until_ready(outs.velocity)
-    reps = 3
-    t0 = time.perf_counter()
-    for r in range(reps):
-        state, outs = run(il, ir, tss, jax.random.PRNGKey(r))
-        jax.block_until_ready(outs.velocity)
-    fps = n_frames * reps / (time.perf_counter() - t0)
+    key0 = jax.random.PRNGKey(0)
+    state, outs = run(il, ir, tss, key0)
+    np.asarray(outs.velocity[-1])  # compile + sync
+
+    def timed(reps):
+        t0 = time.perf_counter()
+        key = key0
+        for _ in range(reps):
+            state, outs = run(il, ir, tss, key)
+            key = key0 + (outs.num_pnp_inliers[-1] * 0).astype(jnp.uint32)
+        np.asarray(outs.velocity[-1])
+        return time.perf_counter() - t0
+
+    fps = two_point_rate(timed, n_frames)
     emit("stereo_uvo_frames_per_second_per_chip", fps, "frames/s", fps / 20.0)
 
 
@@ -151,7 +192,11 @@ def bench_reference_parity(jax, jnp):
         print("# reference-parity bench skipped: no cv2", file=sys.stderr)
         return
     from ergo_uvo_tpu.config import MonoVOConfig
-    from ergo_uvo_tpu.eval import ate_rmse, integrate_mono_trajectory
+    from ergo_uvo_tpu.eval import (
+        ate_rmse,
+        integrate_mono_trajectory,
+        velocity_rmse,
+    )
     from ergo_uvo_tpu.eval.reference_oracle import run_mono_oracle
     from ergo_uvo_tpu.io import make_mono_sequence
     from ergo_uvo_tpu.pipeline import run_mono_vo
@@ -159,7 +204,7 @@ def bench_reference_parity(jax, jnp):
     cfg = MonoVOConfig(
         feature_detector="SIFT", max_keypoints=512, num_hypotheses=256
     )
-    ates_o, ates_e = [], []
+    ates_o, ates_e, vrmse_o, vrmse_e = [], [], [], []
     for seed in (0, 1, 2):
         seq = make_mono_sequence(
             n_frames=24, height=240, width=320, dt=0.25, seed=seed
@@ -171,6 +216,8 @@ def bench_reference_parity(jax, jnp):
             o.velocity, o.R, seq.timestamps, o.published, o.validity
         )
         ates_o.append(ate_rmse(po, gt))
+        vrmse_o.append(velocity_rmse(o.velocity, seq.velocities_prevcam,
+                                     o.validity))
         _, outs = run_mono_vo(
             jnp.asarray(seq.imgs_left), jnp.asarray(seq.timestamps),
             jnp.asarray(seq.ranges), jnp.asarray(seq.K), cfg,
@@ -182,9 +229,14 @@ def bench_reference_parity(jax, jnp):
             outs.validity,
         )
         ates_e.append(ate_rmse(pe, gt))
+        vrmse_e.append(velocity_rmse(outs.velocity, seq.velocities_prevcam,
+                                     outs.validity))
     ate_ours = float(np.mean(ates_e))
     ate_ref = float(np.mean(ates_o))
     emit("reference_mono_ate_m_sift", ate_ref, "m", 1.0)
+    v_ours, v_ref = float(np.mean(vrmse_e)), float(np.mean(vrmse_o))
+    emit("mono_velocity_rmse_sift", v_ours, "m/s",
+         v_ref / max(v_ours, 1e-9))
     emit("mono_ate_m_sift", ate_ours, "m", ate_ref / max(ate_ours, 1e-9))
 
 
@@ -214,14 +266,20 @@ def bench_mono_detectors(jax, jnp):
             return run_mono_vo(imgs, tss, rgs, K, cfg, key)
 
         try:
-            _, outs = run(imgs, tss, rgs, jax.random.PRNGKey(0))
-            jax.block_until_ready(outs.velocity)
-            reps = 2
-            t0 = time.perf_counter()
-            for r in range(reps):
-                _, outs = run(imgs, tss, rgs, jax.random.PRNGKey(r))
-                jax.block_until_ready(outs.velocity)
-            fps = n_frames * reps / (time.perf_counter() - t0)
+            key0 = jax.random.PRNGKey(0)
+            _, outs = run(imgs, tss, rgs, key0)
+            np.asarray(outs.scale_factor[-1])  # compile + sync
+
+            def timed(reps, run=run, key0=key0):
+                t0 = time.perf_counter()
+                key = key0
+                for _ in range(reps):
+                    _, outs = run(imgs, tss, rgs, key)
+                    key = key0 + (outs.num_features[-1] * 0).astype(jnp.uint32)
+                np.asarray(outs.scale_factor[-1])
+                return time.perf_counter() - t0
+
+            fps = two_point_rate(timed, n_frames, reps_lo=2, reps_hi=8)
             emit(f"mono_uvo_fps_{det.lower()}", fps, "frames/s", fps / 20.0)
         except Exception as e:  # pragma: no cover - report, keep benching
             print(f"# detector bench {det} failed: {e}", file=sys.stderr)
@@ -265,15 +323,20 @@ def bench_mono(jax, jnp):
         state = mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim)
         return jax.lax.scan(full_step, state, (imgs, tss, rgs, keys))
 
-    state, outs = run(imgs, tss, rgs, jax.random.PRNGKey(0))
-    jax.block_until_ready(outs.velocity)
+    key0 = jax.random.PRNGKey(0)
+    state, outs = run(imgs, tss, rgs, key0)
+    np.asarray(outs.scale_factor[-1])  # compile + sync
 
-    reps = 3
-    t0 = time.perf_counter()
-    for r in range(reps):
-        state, outs = run(imgs, tss, rgs, jax.random.PRNGKey(r))
-        jax.block_until_ready(outs.velocity)
-    fps = n_frames * reps / (time.perf_counter() - t0)
+    def timed(reps):
+        t0 = time.perf_counter()
+        key = key0
+        for _ in range(reps):
+            state, outs = run(imgs, tss, rgs, key)
+            key = key0 + (outs.num_features[-1] * 0).astype(jnp.uint32)
+        np.asarray(outs.scale_factor[-1])
+        return time.perf_counter() - t0
+
+    fps = two_point_rate(timed, n_frames)
     emit("mono_uvo_frames_per_second_per_chip", fps, "frames/s", fps / 20.0)
 
 

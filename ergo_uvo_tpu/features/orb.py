@@ -129,8 +129,10 @@ def detect_orb(
         f = scale_factor**lvl
         xy = jnp.stack([xx, yy], -1) * f
         sigma = jnp.full((max_keypoints,), f, img.dtype)
-        # Orientation: intensity centroid on the level image (one gather set).
-        ang = _orientations(level_img, xx, yy)
+        # Orientation: intensity-centroid moments as two whole-image convs
+        # (MXU) read at the integer NMS peaks — replaces K x 31^2 bilinear
+        # gathers per level (r4: gather sampling held ORB to 7.6 fps).
+        ang = _orientations(level_img, idx)
         per_level.append((jnp.where(mask, scores, -jnp.inf), xy, sigma, ang, mask))
 
     scores = jnp.concatenate([p[0] for p in per_level])
@@ -150,26 +152,6 @@ def detect_orb(
     )
 
 
-def _bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
-    h, w = img.shape
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    wx = x - x0
-    wy = y - y0
-    x0i = jnp.clip(x0.astype(jnp.int32), 0, w - 1)
-    y0i = jnp.clip(y0.astype(jnp.int32), 0, h - 1)
-    x1i = jnp.clip(x0i + 1, 0, w - 1)
-    y1i = jnp.clip(y0i + 1, 0, h - 1)
-    flat = img.reshape(-1)
-
-    def at(yi, xi):
-        return jnp.take(flat, yi * w + xi)
-
-    top = at(y0i, x0i) * (1 - wx) + at(y0i, x1i) * wx
-    bot = at(y1i, x0i) * (1 - wx) + at(y1i, x1i) * wx
-    return top * (1 - wy) + bot * wy
-
-
 def _disc_offsets():
     g = np.arange(PATCH) - _HALF
     gy, gx = np.meshgrid(g, g, indexing="ij")
@@ -181,17 +163,22 @@ def _disc_offsets():
     )
 
 
-def _orientations(img: jax.Array, xx: jax.Array, yy: jax.Array) -> jax.Array:
-    """Intensity-centroid angle per keypoint (level-image coords)."""
+def _orientations(img: jax.Array, flat_idx: jax.Array) -> jax.Array:
+    """Intensity-centroid angle at integer pixel indices (Rublee et al. §4.1).
+
+    The disc moments m10/m01 are correlations of the image with the static
+    kernels gx*disc / gy*disc — two whole-image convs on the MXU
+    (features/sampling.py design note) read back at the K peak positions,
+    instead of K x PATCH^2 serialized gathers.
+    """
+    from ergo_uvo_tpu.features.sampling import conv2d_same
+
     gx, gy, disc = _disc_offsets()
-    sx = xx[:, None, None] + gx[None]
-    sy = yy[:, None, None] + gy[None]
-    patch = _bilinear(img, sx.reshape(-1), sy.reshape(-1)).reshape(
-        xx.shape[0], PATCH, PATCH
+    m10 = conv2d_same(img, gx * disc)
+    m01 = conv2d_same(img, gy * disc)
+    return jnp.arctan2(
+        jnp.take(m01.reshape(-1), flat_idx), jnp.take(m10.reshape(-1), flat_idx)
     )
-    m10 = jnp.sum(patch * (gx * disc)[None], axis=(1, 2))
-    m01 = jnp.sum(patch * (gy * disc)[None], axis=(1, 2))
-    return jnp.arctan2(m01, m10)
 
 
 def _brief_pattern(n_bits: int = 256, seed: int = 7) -> np.ndarray:
@@ -205,27 +192,44 @@ def _brief_pattern(n_bits: int = 256, seed: int = 7) -> np.ndarray:
 _PATTERN = _brief_pattern()
 
 
+_BRIEF_Q = 45  # patch grid: covers the rotated pattern (+-HALF*sqrt2 ~ 21.2)
+
+
 def describe_orb(img: jax.Array, kpts: Keypoints, n_bits: int = 256) -> jax.Array:
     """(K, 256) float32 {0,1} rotated-BRIEF bits; invalid rows -> 0.
 
     The keypoint angle (stored in `laplacian`) rotates the test pattern
     (steered BRIEF); sampling spacing follows the keypoint's pyramid scale.
+
+    Gather-free two-stage sampling (features/sampling.py): an axis-aligned
+    45x45 patch per keypoint at its scale spacing (two MXU matmuls), then the
+    rotated test positions interpolated INSIDE the patch (one small batched
+    einsum) — replaces 2*K*n_bits full-image gathers.  Samples compose two
+    bilinear interpolations instead of one, a sub-pixel smoothing that only
+    perturbs bits at near-tie tests (descriptors are statistical parity,
+    module docstring).
     """
+    from ergo_uvo_tpu.features.sampling import extract_patches, sample_patch
+
     pat = jnp.asarray(_PATTERN[:n_bits])  # (B, 4)
     ang = kpts.laplacian
     c, s = jnp.cos(ang), jnp.sin(ang)  # (K,)
 
+    patches = extract_patches(
+        img, kpts.xy[:, 0], kpts.xy[:, 1], kpts.scale, _BRIEF_Q
+    )
+    center = (_BRIEF_Q - 1) / 2.0
+
     def rotate(px, py):
-        # (K, B) rotated offsets, scaled by the keypoint's level factor.
+        # (K, B) rotated offsets in PATCH units (spacing already encodes the
+        # keypoint scale).
         rx = c[:, None] * px[None] - s[:, None] * py[None]
         ry = s[:, None] * px[None] + c[:, None] * py[None]
-        return rx * kpts.scale[:, None], ry * kpts.scale[:, None]
+        return rx, ry
 
     x1, y1 = rotate(pat[:, 0], pat[:, 1])
     x2, y2 = rotate(pat[:, 2], pat[:, 3])
-    cx = kpts.xy[:, 0:1]
-    cy = kpts.xy[:, 1:2]
-    i1 = _bilinear(img, (cx + x1).reshape(-1), (cy + y1).reshape(-1))
-    i2 = _bilinear(img, (cx + x2).reshape(-1), (cy + y2).reshape(-1))
-    bits = (i1 < i2).astype(jnp.float32).reshape(kpts.xy.shape[0], -1)
+    i1 = sample_patch(patches, center + y1, center + x1)
+    i2 = sample_patch(patches, center + y2, center + x2)
+    bits = (i1 < i2).astype(jnp.float32)
     return jnp.where(kpts.mask[:, None], bits, 0.0)

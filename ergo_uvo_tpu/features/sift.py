@@ -183,54 +183,48 @@ def _octave_keypoints(
     return scores, xy, sigma, l_i, (y_i, x_i), mask
 
 
+_DESC_Q = 26  # patch grid: 16x16 descriptor samples land on integer patch
+# indices 5..20, the rotated grid (+-7.5*sqrt2) plus the gradient margin
+# stays inside (features/sampling.py two-stage design).
+
+
 def _orientations_and_desc(
     gauss, l_i, y_i, x_i, sigma_rel, mask, n_scales: int
 ):
     """(angle (K,), desc (K, 128)) from one octave's Gaussian stack.
 
     sigma_rel: keypoint sigma in THIS octave's pixel units.
+
+    Gather-free (r4: per-sample jnp.take sampling held SIFT to 7.5 fps):
+    each keypoint gets one axis-aligned _DESC_Q^2 patch at its scale spacing
+    from its DoG layer's Gaussian (two MXU matmuls per layer, masked-summed
+    over the n_scales candidate layers), gradients are central differences in
+    patch space (scale-covariant aperture: +-1 patch unit = +-spacing px, vs
+    the previous fixed +-1 px), and the rotated descriptor grid interpolates
+    inside the small gradient patches (one batched einsum).
     """
-    n_l, h, w = gauss.shape
+    from ergo_uvo_tpu.features.sampling import extract_patches, sample_patch
+
     K = l_i.shape[0]
-    flat = gauss.reshape(-1)
+    spacing = 3.0 * sigma_rel / _PATCH * 2.0  # (K,) ~radius 3*sigma
+    x_f = x_i.astype(jnp.float32)
+    y_f = y_i.astype(jnp.float32)
+    patches = jnp.zeros((K, _DESC_Q, _DESC_Q), gauss.dtype)
+    for l in range(1, n_scales + 1):  # keypoints only sit on these layers
+        p_l = extract_patches(gauss[l], x_f, y_f, spacing, _DESC_Q)
+        patches = patches + jnp.where((l_i == l)[:, None, None], p_l, 0.0)
 
-    def sample(ll, yy, xx):
-        """Nearest-level bilinear spatial sample at (ll, yy, xx)."""
-        yy = jnp.clip(yy, 0.0, h - 1.001)
-        xx = jnp.clip(xx, 0.0, w - 1.001)
-        y0 = jnp.floor(yy)
-        x0 = jnp.floor(xx)
-        wy = yy - y0
-        wx = xx - x0
-        y0i = y0.astype(jnp.int32)
-        x0i = x0.astype(jnp.int32)
-        base = ll * (h * w)
+    # Central-difference gradients at interior patch indices 1.._DESC_Q-2.
+    dxc = 0.5 * (patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2])
+    dyc = 0.5 * (patches[:, 2:, 1:-1] - patches[:, :-2, 1:-1])
 
-        def g(yi, xi):
-            return jnp.take(flat, base + yi * w + xi)
-
-        return (
-            g(y0i, x0i) * (1 - wy) * (1 - wx)
-            + g(y0i, x0i + 1) * (1 - wy) * wx
-            + g(y0i + 1, x0i) * wy * (1 - wx)
-            + g(y0i + 1, x0i + 1) * wy * wx
-        )
-
-    # ---- gradient patch (un-rotated) for orientation: 16x16 at 1.5*sigma/8.
+    # ---- orientation: the un-rotated 16x16 grid = patch indices 5..20,
+    # i.e. rows/cols 4..19 of the interior gradient patches.
     g1 = jnp.arange(_PATCH, dtype=jnp.float32) - (_PATCH - 1) / 2.0
     gy_, gx_ = jnp.meshgrid(g1, g1, indexing="ij")
-    spacing_o = (3.0 * sigma_rel / _PATCH * 2.0)[:, None, None]  # ~radius 3sig
-    ys0 = y_i.astype(jnp.float32)[:, None, None] + gy_[None] * spacing_o
-    xs0 = x_i.astype(jnp.float32)[:, None, None] + gx_[None] * spacing_o
-    ll = jnp.broadcast_to(l_i[:, None, None], ys0.shape)
-    eps = 1.0
-
-    def grads(ys, xs, ll):
-        dx = sample(ll, ys, xs + eps) - sample(ll, ys, xs - eps)
-        dy = sample(ll, ys + eps, xs) - sample(ll, ys - eps, xs)
-        return dx, dy
-
-    dx0, dy0 = grads(ys0, xs0, ll)
+    lo = (_DESC_Q - _PATCH) // 2 - 1  # = 4
+    dx0 = dxc[:, lo:lo + _PATCH, lo:lo + _PATCH]
+    dy0 = dyc[:, lo:lo + _PATCH, lo:lo + _PATCH]
     mag0 = jnp.sqrt(dx0 * dx0 + dy0 * dy0)
     th0 = jnp.arctan2(dy0, dx0)
     gw = jnp.exp(-(gx_**2 + gy_**2) / (2.0 * (_PATCH / 3.0) ** 2))
@@ -254,12 +248,17 @@ def _orientations_and_desc(
     angle = (peak.astype(jnp.float32) + 0.5) / nb * 2 * jnp.pi - jnp.pi
 
     # ---- descriptor: rotated 16x16 gradient grid, 4x4 cells x 8 bins.
+    # Rotated positions interpolated INSIDE the small gradient patches:
+    # patch index p maps to interior-gradient index p - 1, so the patch
+    # center (_DESC_Q-1)/2 sits at (_DESC_Q-3)/2 in dxc/dyc coordinates.
     ca, sa = jnp.cos(angle), jnp.sin(angle)
-    rx = ca[:, None, None] * gx_[None] - sa[:, None, None] * gy_[None]
-    ry = sa[:, None, None] * gx_[None] + ca[:, None, None] * gy_[None]
-    ys1 = y_i.astype(jnp.float32)[:, None, None] + ry * spacing_o
-    xs1 = x_i.astype(jnp.float32)[:, None, None] + rx * spacing_o
-    dx1, dy1 = grads(ys1, xs1, ll)
+    rx = (ca[:, None, None] * gx_[None] - sa[:, None, None] * gy_[None])
+    ry = (sa[:, None, None] * gx_[None] + ca[:, None, None] * gy_[None])
+    c_int = (_DESC_Q - 3) / 2.0
+    u = (c_int + ry).reshape(K, -1)
+    v = (c_int + rx).reshape(K, -1)
+    dx1 = sample_patch(dxc, u, v).reshape(K, _PATCH, _PATCH)
+    dy1 = sample_patch(dyc, u, v).reshape(K, _PATCH, _PATCH)
     mag1 = (jnp.sqrt(dx1 * dx1 + dy1 * dy1) * gw[None]).reshape(K, -1)
     th1 = jnp.arctan2(dy1, dx1) - angle[:, None, None]
     bd = jnp.mod((th1 + jnp.pi) / (2 * jnp.pi) * _N_SPLITS, _N_SPLITS)
