@@ -331,3 +331,44 @@ class TestTimestamps:
                 "--timestamps", str(short),
                 "--out", str(tmp_path / "x.jsonl"),
             ])
+
+
+class TestStereoStampSync:
+    def test_dropped_right_frame_pairs_by_stamp(self, stereo_dataset, capsys,
+                                                tmp_path):
+        """Right stream missing one frame + jittered stamps: nearest-stamp
+        pairing must drop exactly the unmatched left frame and still run the
+        remaining 8 pairs end-to-end (ApproximateTime analogue,
+        visual_odometry.h:766-774)."""
+        import shutil
+
+        root, _ = stereo_dataset
+        right2 = tmp_path / "right"
+        shutil.copytree(root / "right", right2)
+        rights = sorted(right2.iterdir())
+        dropped = rights[4]
+        dropped.unlink()  # lose right frame #4
+
+        tss_l = 0.25 * np.arange(9)
+        rng = np.random.default_rng(0)
+        tss_r = tss_l + rng.uniform(-0.02, 0.02, 9)
+        tss_r = np.delete(tss_r, 4)
+        fl, fr = tmp_path / "tl.txt", tmp_path / "tr.txt"
+        np.savetxt(fl, tss_l)
+        np.savetxt(fr, np.sort(tss_r))
+        out = tmp_path / "sync.jsonl"
+        summary = _run(capsys, [
+            "stereo", "--params", str(root / "params.yaml"),
+            "--intrinsics", str(root / "intrinsics.yaml"),
+            "--camera", "test_rig",
+            "--frames-left", str(root / "left"),
+            "--frames-right", str(right2),
+            "--timestamps-left", str(fl),
+            "--timestamps-right", str(fr),
+            "--max-skew", "0.05",
+            "--out", str(out), "--chunk-size", "4",
+        ])
+        assert summary["frames"] == 8
+        assert summary["pairs_dropped"] == 1
+        with open(out) as f:
+            assert len(f.readlines()) == 8
