@@ -32,34 +32,24 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
-def two_point_rate(timed, units_per_rep, reps_lo=3, reps_hi=13,
-                   min_window=0.5, max_reps=96):
-    """Units/s from a two-point chained-execution fit.
+def size_slope_rate(time_fn, size_lo, size_hi, reps=2):
+    """Units/s from the wall-time difference of the SAME computation compiled
+    at two static sizes (scan length / iteration count).
 
-    On the axon TPU tunnel `jax.block_until_ready` is a NO-OP and each
-    dispatch + the final host fetch carry seconds of fixed RPC overhead (r4
-    calibration: ~2.5 s fixed, 0.17 s true device time per 32-frame scan) —
-    single-shot wall timing measures the tunnel, not the chip.  `timed(reps)`
-    must run `reps` executions CHAINED by a data dependency (each rep's input
-    derived from the previous rep's output, so they serialize on-device) and
-    end with ONE tiny fetch; the fixed overhead then cancels in
-    (timed(hi) - timed(lo)) and the slope is honest device throughput.  On
-    platforms with a working block_until_ready the chaining is equivalent to
-    the usual timing.
-
-    `reps_hi` doubles until the timing window (t_hi - t_lo) reaches
-    `min_window` seconds, so fast kernels are not reported through RPC jitter
-    (a fixed rep pair made the BA line read 3e11 iters/s when the window
-    collapsed below noise).  `max_reps` stays modest: queueing many hundreds
-    of un-synced dispatches crashed the experimental axon worker twice in r4.
+    Why not plain rep timing: on the axon TPU tunnel `jax.block_until_ready`
+    is a NO-OP and each dispatch/fetch carries seconds of fixed RPC overhead
+    (r4 calibration: ~2.5 s fixed vs 0.17 s true device time per 32-frame
+    scan) — per-rep wall timing measures the tunnel, not the chip.  Why not
+    chained reps: queueing tens of un-synced dispatches reproducibly CRASHED
+    the experimental axon worker (three r4 incidents, all right after the
+    chained section).  Here every measurement is ONE dispatch + one tiny
+    fetch; `time_fn(size)` must run the size-`size` program and block on a
+    scalar of its result.  The fixed overhead cancels in t_hi - t_lo and the
+    slope is honest device throughput; `reps` takes the min to damp jitter.
     """
-    t_lo = timed(reps_lo)
-    while True:
-        t_hi = timed(reps_hi)
-        if t_hi - t_lo >= min_window or reps_hi >= max_reps:
-            break
-        reps_hi *= 2
-    return units_per_rep * (reps_hi - reps_lo) / max(t_hi - t_lo, 1e-9)
+    t_lo = min(time_fn(size_lo) for _ in range(reps))
+    t_hi = min(time_fn(size_hi) for _ in range(reps))
+    return (size_hi - size_lo) / max(t_hi - t_lo, 1e-9)
 
 
 # Presentation order (headline LAST).  Benches RUN in a different, safety
@@ -143,22 +133,22 @@ def bench_ba_iters(jax, jnp):
     )
     iters = 30
 
-    # One jitted program for the whole solve — the deployment shape (the
+    # One jitted program per iteration count — the deployment shape (the
     # window driver jits its refine call the same way).
-    solve = jax.jit(lambda R, t, X: ba_solve(prob, R, t, X, iters=iters)[1])
     Rd, td, Xd = jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(X0)
-    np.asarray(solve(Rd, td, Xd)[-1])  # compile + sync
+    solves = {
+        n: jax.jit(lambda R, t, X, n=n: ba_solve(prob, R, t, X, iters=n)[1])
+        for n in (iters, iters + 300)
+    }
+    for s in solves.values():  # compile + sync outside timing
+        np.asarray(s(Rd, td, Xd)[-1])
 
-    def timed(reps):
+    def time_iters(n):
         t0 = time.perf_counter()
-        X = Xd
-        for _ in range(reps):
-            costs = solve(Rd, td, X)
-            X = Xd + 0.0 * costs[-1]  # chain reps on-device
-        np.asarray(costs[-1])
+        np.asarray(solves[n](Rd, td, Xd)[-1])
         return time.perf_counter() - t0
 
-    ips = two_point_rate(timed, iters)
+    ips = size_slope_rate(time_iters, iters, iters + 300)
     emit("ba_iters_per_second_8x512", ips, "iters/s", 1.0)
 
 
@@ -168,11 +158,11 @@ def bench_stereo(jax, jnp):
     from ergo_uvo_tpu.pipeline import run_stereo_vo
     from ergo_uvo_tpu.pipeline.stereo import StereoRig
 
-    n_frames = 16
+    n_lo, n_hi = 8, 48
     cfg = StereoVOConfig(
         surf=SurfConfig(min_hessian=60.0), max_keypoints=512, num_hypotheses=512
     )
-    seq = make_stereo_sequence(n_frames=n_frames, height=480, width=640, seed=2)
+    seq = make_stereo_sequence(n_frames=n_hi, height=480, width=640, seed=2)
     rig = StereoRig(
         K_left=jnp.asarray(seq.K), K_right=jnp.asarray(seq.K),
         R_right=jnp.eye(3), t_right=jnp.asarray([-0.33, 0.0, 0.0]),
@@ -180,25 +170,23 @@ def bench_stereo(jax, jnp):
     il = jnp.asarray(seq.imgs_left)
     ir = jnp.asarray(seq.imgs_right)
     tss = jnp.asarray(seq.timestamps)
-
-    @jax.jit
-    def run(il, ir, tss, key):
-        return run_stereo_vo(il, ir, tss, rig, cfg, key)
-
     key0 = jax.random.PRNGKey(0)
-    state, outs = run(il, ir, tss, key0)
-    np.asarray(outs.velocity[-1])  # compile + sync
 
-    def timed(reps):
+    runs = {}
+    for n in (n_lo, n_hi):
+        runs[n] = jax.jit(
+            lambda il, ir, t, key, n=n: run_stereo_vo(
+                il[:n], ir[:n], t[:n], rig, cfg, key
+            )
+        )
+        np.asarray(runs[n](il, ir, tss, key0)[1].velocity[-1])  # compile+sync
+
+    def time_n(n):
         t0 = time.perf_counter()
-        key = key0
-        for _ in range(reps):
-            state, outs = run(il, ir, tss, key)
-            key = key0 + (outs.num_pnp_inliers[-1] * 0).astype(jnp.uint32)
-        np.asarray(outs.velocity[-1])
+        np.asarray(runs[n](il, ir, tss, key0)[1].velocity[-1])
         return time.perf_counter() - t0
 
-    fps = two_point_rate(timed, n_frames)
+    fps = size_slope_rate(time_n, n_lo, n_hi)
     emit("stereo_uvo_frames_per_second_per_chip", fps, "frames/s", fps / 20.0)
 
 
@@ -273,37 +261,34 @@ def bench_mono_detectors(jax, jnp):
     from ergo_uvo_tpu.io import make_mono_sequence
     from ergo_uvo_tpu.pipeline import run_mono_vo
 
-    n_frames = 16
-    seq = make_mono_sequence(n_frames=n_frames, height=480, width=640, dt=0.05,
+    n_lo, n_hi = 6, 30
+    seq = make_mono_sequence(n_frames=n_hi, height=480, width=640, dt=0.05,
                              seed=1)
     imgs = jnp.asarray(seq.imgs_left)
     tss = jnp.asarray(seq.timestamps)
     rgs = jnp.asarray(seq.ranges)
     K = jnp.asarray(seq.K)
+    key0 = jax.random.PRNGKey(0)
     for det in ("ORB", "SIFT", "AKAZE"):
         cfg = MonoVOConfig(
             feature_detector=det, max_keypoints=512, num_hypotheses=512
         )
-
-        @jax.jit
-        def run(imgs, tss, rgs, key, cfg=cfg):
-            return run_mono_vo(imgs, tss, rgs, K, cfg, key)
-
         try:
-            key0 = jax.random.PRNGKey(0)
-            _, outs = run(imgs, tss, rgs, key0)
-            np.asarray(outs.scale_factor[-1])  # compile + sync
+            runs = {}
+            for n in (n_lo, n_hi):
+                runs[n] = jax.jit(
+                    lambda im, t, r, key, n=n, cfg=cfg: run_mono_vo(
+                        im[:n], t[:n], r[:n], K, cfg, key
+                    )
+                )
+                np.asarray(runs[n](imgs, tss, rgs, key0)[1].scale_factor[-1])
 
-            def timed(reps, run=run, key0=key0):
+            def time_n(n, runs=runs):
                 t0 = time.perf_counter()
-                key = key0
-                for _ in range(reps):
-                    _, outs = run(imgs, tss, rgs, key)
-                    key = key0 + (outs.num_features[-1] * 0).astype(jnp.uint32)
-                np.asarray(outs.scale_factor[-1])
+                np.asarray(runs[n](imgs, tss, rgs, key0)[1].scale_factor[-1])
                 return time.perf_counter() - t0
 
-            fps = two_point_rate(timed, n_frames, reps_lo=2, reps_hi=8)
+            fps = size_slope_rate(time_n, n_lo, n_hi)
             emit(f"mono_uvo_fps_{det.lower()}", fps, "frames/s", fps / 20.0)
         except Exception as e:  # pragma: no cover - report, keep benching
             print(f"# detector bench {det} failed: {e}", file=sys.stderr)
@@ -315,14 +300,14 @@ def bench_mono(jax, jnp):
     from ergo_uvo_tpu.io import make_mono_sequence
     from ergo_uvo_tpu.pipeline.mono import mono_vo_init, mono_vo_step
 
-    n_frames = 32
+    n_lo, n_hi = 16, 144
     h, w = 480, 640
     cfg = MonoVOConfig(
         surf=SurfConfig(min_hessian=60.0),
         max_keypoints=512,
         num_hypotheses=512,
     )
-    seq = make_mono_sequence(n_frames=n_frames, height=h, width=w, dt=0.05, seed=1)
+    seq = make_mono_sequence(n_frames=n_hi, height=h, width=w, dt=0.05, seed=1)
 
     # Preprocess plan: identity-size (already 640-wide), mild distortion model.
     dist = np.array([-0.05, 0.01, 0.0, 0.0])
@@ -341,26 +326,27 @@ def bench_mono(jax, jnp):
         pre = preprocess_frame(plan, img)
         return mono_vo_step(state, pre, ts, rg, K, key, cfg)
 
-    @jax.jit
-    def run(imgs, tss, rgs, key):
-        keys = jax.random.split(key, imgs.shape[0])
-        state = mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim)
-        return jax.lax.scan(full_step, state, (imgs, tss, rgs, keys))
-
     key0 = jax.random.PRNGKey(0)
-    state, outs = run(imgs, tss, rgs, key0)
-    np.asarray(outs.scale_factor[-1])  # compile + sync
+    runs = {}
+    for n in (n_lo, n_hi):
 
-    def timed(reps):
+        @jax.jit
+        def run(imgs, tss, rgs, key, n=n):
+            keys = jax.random.split(key, n)
+            state = mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim)
+            return jax.lax.scan(
+                full_step, state, (imgs[:n], tss[:n], rgs[:n], keys)
+            )
+
+        runs[n] = run
+        np.asarray(run(imgs, tss, rgs, key0)[1].scale_factor[-1])  # compile
+
+    def time_n(n):
         t0 = time.perf_counter()
-        key = key0
-        for _ in range(reps):
-            state, outs = run(imgs, tss, rgs, key)
-            key = key0 + (outs.num_features[-1] * 0).astype(jnp.uint32)
-        np.asarray(outs.scale_factor[-1])
+        np.asarray(runs[n](imgs, tss, rgs, key0)[1].scale_factor[-1])
         return time.perf_counter() - t0
 
-    fps = two_point_rate(timed, n_frames)
+    fps = size_slope_rate(time_n, n_lo, n_hi)
     emit("mono_uvo_frames_per_second_per_chip", fps, "frames/s", fps / 20.0)
 
 
