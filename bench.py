@@ -354,12 +354,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # Safety run order: headline throughputs first (the axon worker can die
-    # under sustained dispatch, r4), accuracy/aux after; every section
-    # guarded so whatever the hardware survived still prints (in _ORDER,
-    # headline last).
-    for section in (bench_mono, bench_stereo, bench_ba_iters,
-                    bench_mono_detectors, bench_reference_parity):
+    # Safety run order (the experimental axon worker reproducibly died
+    # shortly AFTER the BA bench in four r4 runs, regardless of timing
+    # methodology): headline throughputs first, detectors + parity next, BA
+    # as the LAST device user; every section guarded so whatever the
+    # hardware survived still prints (in _ORDER, headline last).
+    for section in (bench_mono, bench_stereo, bench_mono_detectors,
+                    bench_reference_parity, bench_ba_iters):
         try:
             section(jax, jnp)
         except Exception as e:  # pragma: no cover
