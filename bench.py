@@ -136,9 +136,12 @@ def bench_ba_iters(jax, jnp):
     # One jitted program per iteration count — the deployment shape (the
     # window driver jits its refine call the same way).
     Rd, td, Xd = jnp.asarray(Rs), jnp.asarray(ts), jnp.asarray(X0)
+    # Wide iteration window: a single LM iteration is ~0.3 ms on-device, so
+    # the slope needs thousands of extra iterations to dominate RPC jitter.
+    hi = iters + 3000
     solves = {
         n: jax.jit(lambda R, t, X, n=n: ba_solve(prob, R, t, X, iters=n)[1])
-        for n in (iters, iters + 300)
+        for n in (iters, hi)
     }
     for s in solves.values():  # compile + sync outside timing
         np.asarray(s(Rd, td, Xd)[-1])
@@ -148,7 +151,7 @@ def bench_ba_iters(jax, jnp):
         np.asarray(solves[n](Rd, td, Xd)[-1])
         return time.perf_counter() - t0
 
-    ips = size_slope_rate(time_iters, iters, iters + 300)
+    ips = size_slope_rate(time_iters, iters, hi)
     emit("ba_iters_per_second_8x512", ips, "iters/s", 1.0)
 
 
