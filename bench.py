@@ -301,7 +301,7 @@ def bench_mono(jax, jnp):
     from ergo_uvo_tpu.config import MonoVOConfig, SurfConfig
     from ergo_uvo_tpu.image import build_preprocess_plan, preprocess_frame
     from ergo_uvo_tpu.io import make_mono_sequence
-    from ergo_uvo_tpu.pipeline.mono import mono_vo_init, mono_vo_step
+    from ergo_uvo_tpu.pipeline.mono import mono_vo_init_from, mono_vo_step
 
     n_lo, n_hi = 16, 144
     h, w = 480, 640
@@ -336,7 +336,7 @@ def bench_mono(jax, jnp):
         @jax.jit
         def run(imgs, tss, rgs, key, n=n):
             keys = jax.random.split(key, n)
-            state = mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim)
+            state = mono_vo_init_from(cfg)
             return jax.lax.scan(
                 full_step, state, (imgs[:n], tss[:n], rgs[:n], keys)
             )

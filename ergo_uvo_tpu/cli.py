@@ -137,7 +137,23 @@ def _outs_example(out_type):
     return out_type(*([np.zeros(0)] * len(out_type._fields)))
 
 
-def _make_stream_ckpt_cb(path, every, n_real, chunk_size, start, n_segments):
+def _seq_digest(*path_lists):
+    """sha256 over the ordered (paired) frame basenames: the identity of the
+    sequence a stream checkpoint belongs to (ADVICE r4 — a re-sorted glob
+    must not silently misalign a resumed prefix)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for paths in path_lists:
+        for p in paths:
+            h.update(os.path.basename(str(p)).encode())
+            h.update(b"\n")
+        h.update(b"--\n")
+    return h.hexdigest()
+
+
+def _make_stream_ckpt_cb(path, every, n_real, chunk_size, start, n_segments,
+                         seq_digest=""):
     """Chunk callback persisting streaming-VO progress every `every` chunks.
 
     Segment-based (utils.checkpoint.append_stream_segment + save_stream_head):
@@ -175,7 +191,8 @@ def _make_stream_ckpt_cb(path, every, n_real, chunk_size, start, n_segments):
             pending.clear()
         real_done = start + min(frames_done, remaining_real)
         save_stream_head(path, real_done, jax.tree.map(np.asarray, state),
-                         np.asarray(key), nseg, n_real, chunk_size)
+                         np.asarray(key), nseg, n_real, chunk_size,
+                         seq_digest=seq_digest)
 
     return cb
 
@@ -201,7 +218,8 @@ def _resume_stream(args, init_state, out_type):
     return 0, None, None, jax.random.PRNGKey(args.seed), None
 
 
-def _run_streamed(args, n_real, tss, init_state, out_type, launch):
+def _run_streamed(args, n_real, tss, init_state, out_type, launch,
+                  seq_digest=""):
     """Shared streaming scaffolding for the real-data CLI paths: resume
     accounting, tail padding to a chunk multiple, checkpoint wiring, and
     prefix stitching.
@@ -219,12 +237,27 @@ def _run_streamed(args, n_real, tss, init_state, out_type, launch):
         args, init_state, out_type
     )
     perf = {}
-    if meta is not None and meta["n_real"] != n_real:
-        print(
-            f"warning: --checkpoint was written for {meta['n_real']} frames; "
-            f"the sequence now has {n_real} — resuming at frame {start}",
-            file=sys.stderr,
-        )
+    if meta is not None:
+        recorded = meta.get("seq_digest", "")
+        if recorded and seq_digest and recorded != seq_digest:
+            msg = (
+                "--checkpoint was written for a DIFFERENT frame sequence "
+                f"(digest {recorded[:12]}… vs current {seq_digest[:12]}…); "
+                "the restored prefix would correspond to other frames"
+            )
+            if not getattr(args, "force_resume", False):
+                raise SystemExit(
+                    f"error: {msg} — re-run with --force-resume to override"
+                )
+            print(f"warning: {msg} — continuing (--force-resume)",
+                  file=sys.stderr)
+        if meta["n_real"] != n_real:
+            print(
+                f"warning: --checkpoint was written for {meta['n_real']} "
+                f"frames; the sequence now has {n_real} — resuming at frame "
+                f"{start}",
+                file=sys.stderr,
+            )
     start = min(start, n_real)
     remaining = n_real - start
     if remaining == 0:
@@ -240,6 +273,7 @@ def _run_streamed(args, n_real, tss, init_state, out_type, launch):
             _make_stream_ckpt_cb(
                 args.checkpoint, args.checkpoint_every, n_real, chunk, start,
                 (meta or {"n_segments": 0})["n_segments"],
+                seq_digest=seq_digest,
             )
             if args.checkpoint else None
         )
@@ -360,7 +394,7 @@ def _run_mono(args):
             # trailing partial batch (io/sequence.py) — and outputs are
             # trimmed back to the true length by the scaffolding.
             n_real = len(paths)
-            from ergo_uvo_tpu.pipeline.mono import MonoFrameOutput, mono_vo_init
+            from ergo_uvo_tpu.pipeline.mono import MonoFrameOutput, mono_vo_init_from
 
             def launch(start, pad, tss_p, state0, key0, chunk, cb, timings):
                 paths_p = paths[start:n_real] + [paths[n_real - 1]] * pad
@@ -378,8 +412,8 @@ def _run_mono(args):
 
             outs, perf = _run_streamed(
                 args, n_real, tss,
-                mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim),
-                MonoFrameOutput, launch,
+                mono_vo_init_from(cfg),
+                MonoFrameOutput, launch, seq_digest=_seq_digest(paths),
             )
             imgs, tss, rgs = np.zeros((n_real,)), tss[:n_real], rgs[:n_real]
     outs = jax.tree.map(np.asarray, outs)
@@ -514,7 +548,7 @@ def _run_stereo(args):
         from ergo_uvo_tpu.pipeline.stereo import (
             StereoFrameOutput,
             run_stereo_vo_streaming,
-            stereo_vo_init,
+            stereo_vo_init_from,
         )
 
         intr = load_stereo_intrinsics(args.intrinsics, args.camera)
@@ -600,8 +634,9 @@ def _run_stereo(args):
 
             outs, perf = _run_streamed(
                 args, n_real, tss,
-                stereo_vo_init(cfg.max_keypoints, cfg.descriptor_dim),
+                stereo_vo_init_from(cfg),
                 StereoFrameOutput, launch,
+                seq_digest=_seq_digest(paths_l, paths_r),
             )
             if args.check_nan:
                 from ergo_uvo_tpu.utils.debug import assert_finite
@@ -756,6 +791,10 @@ def main(argv=None):
         sp.add_argument("--resume", action="store_true",
                         help="resume a real-data run from --checkpoint "
                              "(fresh start if the file does not exist yet)")
+        sp.add_argument("--force-resume", action="store_true",
+                        help="resume even if the checkpoint's recorded frame "
+                             "sequence digest does not match the current "
+                             "frame list (otherwise refused)")
         sp.add_argument("--check-nan", action="store_true",
                         help="run under jax_debug_nans (op-level NaN "
                              "localization; re-traces, debug only) and "

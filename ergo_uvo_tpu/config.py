@@ -16,6 +16,7 @@ hashable so configs can be jit-static arguments.
 from __future__ import annotations
 
 import dataclasses
+import sys
 from dataclasses import dataclass
 from typing import Any, Mapping
 
@@ -280,16 +281,30 @@ def load_vo_params(path: str, stereo: bool = False):
     # batched sampler (VERDICT r3 weak #5; sampling.derive_hypothesis_budget).
     from ergo_uvo_tpu.estimation.sampling import derive_hypothesis_budget
 
+    def _derived(budget: int, source_keys: str) -> int:
+        # The derived count is a jit-static shape: a silent jump from the
+        # historical 512 default quadruples RANSAC memory/compile time and
+        # invalidates every cached executable, so make it visible (ADVICE r4).
+        if budget != 512:
+            print(
+                f"ergo_uvo_tpu: derived num_hypotheses={budget} from the "
+                f"YAML's {source_keys} (no explicit tpu_params."
+                "num_hypotheses); this is a compile-shape change vs the old "
+                "512 default — set tpu_params.num_hypotheses to pin it",
+                file=sys.stderr,
+            )
+        return budget
+
     explicit_hyp = _get(tpu, "num_hypotheses", None)
     if stereo:
         num_hyp = (
             int(explicit_hyp) if explicit_hyp is not None
-            else derive_hypothesis_budget(
+            else _derived(derive_hypothesis_budget(
                 float(_get(vo, "confidence", 0.99)),
                 int(_get(vo, "iterations_count", 1000)),
                 model_points=3,  # our P3P minimal sets (estimation/pnp.py)
                 reference_model_points=4,  # OpenCV EPnP RANSAC subsets
-            )
+            ), "confidence/iterations_count")
         )
         return StereoVOConfig(
             node_freq=float(_get(raw, "node_freq", 20)),
@@ -318,12 +333,12 @@ def load_vo_params(path: str, stereo: bool = False):
         )
     num_hyp = (
         int(explicit_hyp) if explicit_hyp is not None
-        else derive_hypothesis_budget(
+        else _derived(derive_hypothesis_budget(
             float(_get(vo, "essential_confidence", 0.99)),
             int(_get(vo, "essential_max_iters", 2000)),
             model_points=8,  # our 8-point essential sets (estimation/essential.py)
             reference_model_points=5,  # OpenCV findEssentialMat 5-point
-        )
+        ), "essential_confidence/essential_max_iters")
     )
     return MonoVOConfig(
         node_freq=float(_get(raw, "node_freq", 20)),

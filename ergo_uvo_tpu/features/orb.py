@@ -41,14 +41,27 @@ _CIRCLE = (
 )
 PATCH = 31  # orientation/BRIEF patch size
 _HALF = PATCH // 2
+# Interior gate for detection: the steered-BRIEF sampling patch (_BRIEF_Q=45
+# grid, half extent 22 level-pixels > _HALF=15) must fit inside the image —
+# the hat-weight sampler returns ZERO outside it, so an under-gated keypoint
+# would compare test intensities against 0 and flip bits (ADVICE r4).
+_BRIEF_MARGIN = 23  # ceil(_HALF * sqrt(2)) + 1; == _BRIEF_Q // 2 + 1
 
 
-def fast_score(img: jax.Array, threshold: float = 20.0) -> jax.Array:
+def fast_score(
+    img: jax.Array, threshold: float = 20.0, margin: int = _HALF
+) -> jax.Array:
     """(H, W) FAST-9 corner score map (0 where not a corner).
 
     Score: sum of |intensity difference| - threshold over the brighter/darker
     arc — OpenCV's cornerScore consensus, evaluated on the full arc rather
     than per-start maximization (a monotone proxy that preserves NMS order).
+
+    `margin` gates keypoints whose descriptor support would leave the image:
+    the steered-BRIEF patch is sampled on a ``_BRIEF_Q``-wide grid (half
+    extent 22 px at this level's scale, features/sampling.py returns ZERO
+    outside the image), so detect_orb passes ``_BRIEF_MARGIN`` = 23 rather
+    than the bare orientation-patch half-width (ADVICE r4).
     """
     h, w = img.shape
     pad = jnp.pad(img, 3, mode="edge")
@@ -79,7 +92,7 @@ def fast_score(img: jax.Array, threshold: float = 20.0) -> jax.Array:
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     interior = (
-        (ys >= _HALF) & (ys < h - _HALF) & (xs >= _HALF) & (xs < w - _HALF)
+        (ys >= margin) & (ys < h - margin) & (xs >= margin) & (xs < w - margin)
     )
     return jnp.where(is_corner & interior, score, 0.0)
 
@@ -111,7 +124,7 @@ def detect_orb(
     for lvl, (lh, lw) in enumerate(shapes):
         if (lh, lw) != level_img.shape:
             level_img = jax.image.resize(img, (lh, lw), method="linear")
-        score = fast_score(level_img, threshold)
+        score = fast_score(level_img, threshold, margin=_BRIEF_MARGIN)
         # 3x3 NMS.
         nmax = jax.lax.reduce_window(
             score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"

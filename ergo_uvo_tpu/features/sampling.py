@@ -20,9 +20,15 @@ one small batched einsum — everything rides the MXU:
 
 Rotation therefore costs one extra small interpolation instead of K*S image
 gathers; positions outside the image contribute ZERO (hat weights vanish),
-whereas a gather-based sampler clamps to the border — detectors gate
-keypoints away from borders, so the difference only touches already-invalid
-tails.  Replaces the reference's per-keypoint OpenCV sampling loops
+whereas a gather-based sampler clamps to the border — so every detector must
+gate keypoints by its descriptor's FULL patch support, not just its own
+detection window: ORB gates at ``_BRIEF_MARGIN`` = 23 level-pixels (the 45-
+wide steered-BRIEF grid, ADVICE r4); SIFT's border of 8 covers its 26-wide
+descriptor patch only up to spacing ~0.6, so large-scale keypoints near
+octave borders sample a zero-padded (rather than clamped) tail — a
+statistical-parity deviation confined to the outer band, documented here
+because it is NOT gated away.  Replaces the reference's per-keypoint OpenCV
+sampling loops
 (descriptor extraction inside ``detectAndCompute``, VO_utility.cpp:91-126).
 """
 

@@ -9,6 +9,7 @@ from ergo_uvo_tpu.pipeline.mono import (  # noqa: F401
     MonoFrameOutput,
     MonoVOState,
     mono_vo_init,
+    mono_vo_init_from,
     mono_vo_step,
     run_mono_vo,
 )
@@ -16,6 +17,7 @@ from ergo_uvo_tpu.pipeline.stereo import (  # noqa: F401
     StereoFrameOutput,
     StereoVOState,
     stereo_vo_init,
+    stereo_vo_init_from,
     stereo_vo_step,
     run_stereo_vo,
 )

@@ -87,6 +87,11 @@ def stereo_vo_init(
     )
 
 
+def stereo_vo_init_from(cfg, dtype=jnp.float32) -> StereoVOState:
+    """State sized from the config (see pipeline.mono.mono_vo_init_from)."""
+    return stereo_vo_init(cfg.max_keypoints, cfg.descriptor_dim, dtype)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def stereo_vo_step(
     state: StereoVOState,
@@ -228,7 +233,7 @@ def run_stereo_vo_streaming(
     from ergo_uvo_tpu.image.preprocess import preprocess_frame
 
     if state is None:
-        state = stereo_vo_init(cfg.max_keypoints, cfg.descriptor_dim)
+        state = stereo_vo_init_from(cfg)
 
     pre_l = jax.jit(jax.vmap(lambda im: preprocess_frame(plan_l, im)))
     pre_r = jax.jit(jax.vmap(lambda im: preprocess_frame(plan_r, im)))
@@ -278,7 +283,7 @@ def run_stereo_vo(
 ):
     """Scan the stereo step over a sequence; one XLA program end-to-end."""
     if state is None:
-        state = stereo_vo_init(cfg.max_keypoints, cfg.descriptor_dim, imgs_l.dtype)
+        state = stereo_vo_init_from(cfg, imgs_l.dtype)
     keys = jax.random.split(key, imgs_l.shape[0])
 
     def step(carry, inp):

@@ -57,6 +57,7 @@ def save_stream_head(
     n_segments: int,
     n_real: int,
     chunk_size: int,
+    seq_digest: str = "",
 ) -> None:
     """Write the small streaming-run head file (atomic tmp+rename).
 
@@ -76,6 +77,10 @@ def save_stream_head(
     payload["n_segments"] = np.int64(n_segments)
     payload["n_real"] = np.int64(n_real)
     payload["chunk_size"] = np.int64(chunk_size)
+    # Identity of the frame sequence (hash of the ordered path list): resume
+    # refuses a checkpoint whose sequence changed — a re-sorted glob would
+    # silently misalign the restored prefix otherwise (ADVICE r4).
+    payload["seq_digest"] = np.str_(seq_digest)
     tmp = path + ".tmp.npz"
     np.savez(tmp, **payload)
     os.replace(tmp, path)
@@ -123,6 +128,8 @@ def load_stream_run(path: str, state_example: Any, outs_example: Any):
         "n_real": int(data["n_real"]),
         "chunk_size": int(data["chunk_size"]),
         "n_segments": int(data["n_segments"]),
+        # absent in pre-r5 checkpoints -> "" (callers treat "" as unknown)
+        "seq_digest": str(data["seq_digest"]) if "seq_digest" in data else "",
     }
     o_leaves, o_def = jax.tree.flatten(outs_example)
     outs = None

@@ -132,7 +132,7 @@ def test_stream_checkpoint_resume_bitexact(tmp_path):
     """Crash at chunk 2 of 4, resume from the stream checkpoint: the resumed
     run's outputs must be BIT-IDENTICAL to the uninterrupted run (state + PRNG
     key round-trip through the npz exactly)."""
-    from ergo_uvo_tpu.pipeline.mono import MonoFrameOutput, mono_vo_init
+    from ergo_uvo_tpu.pipeline.mono import MonoFrameOutput, mono_vo_init_from
     from ergo_uvo_tpu.utils.checkpoint import (
         load_stream_checkpoint,
         save_stream_checkpoint,
@@ -181,7 +181,7 @@ def test_stream_checkpoint_resume_bitexact(tmp_path):
     # "Crash" after frame 10 -> restore and run the remaining frames.
     example = (
         np.int64(0),
-        mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim),
+        mono_vo_init_from(cfg),
         MonoFrameOutput(*([np.zeros(0)] * len(MonoFrameOutput._fields))),
         np.zeros(2, np.uint32),
     )
@@ -210,7 +210,7 @@ def test_segmented_checkpoint_roundtrip_and_chunk_change(tmp_path):
     """Segmented stream checkpoints (ADVICE r3): segments append O(chunk)
     bytes, pad rows are trimmed before persisting, and a resume may use a
     DIFFERENT --chunk-size because frames_done counts real frames only."""
-    from ergo_uvo_tpu.pipeline.mono import MonoFrameOutput, mono_vo_init
+    from ergo_uvo_tpu.pipeline.mono import MonoFrameOutput, mono_vo_init_from
     from ergo_uvo_tpu.utils.checkpoint import (
         append_stream_segment,
         load_stream_run,
@@ -220,7 +220,7 @@ def test_segmented_checkpoint_roundtrip_and_chunk_change(tmp_path):
     cfg = MonoVOConfig(
         surf=SurfConfig(min_hessian=60.0), max_keypoints=128, num_hypotheses=64
     )
-    state = mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim)
+    state = mono_vo_init_from(cfg)
     ckpt = str(tmp_path / "run.npz")
 
     def fake_outs(n, base):
@@ -241,7 +241,8 @@ def test_segmented_checkpoint_roundtrip_and_chunk_change(tmp_path):
         MonoFrameOutput(*([np.zeros(0)] * len(MonoFrameOutput._fields))),
     )
     assert fd == 7
-    assert meta == {"n_real": 10, "chunk_size": 4, "n_segments": 2}
+    assert meta == {"n_real": 10, "chunk_size": 4, "n_segments": 2,
+                    "seq_digest": ""}
     assert outs.velocity.shape == (7,)
     np.testing.assert_array_equal(outs.velocity[:4], 0.0)
     np.testing.assert_array_equal(outs.velocity[4:], 100.0)
@@ -254,11 +255,11 @@ def test_cli_ckpt_cb_trims_pads_and_buffers(tmp_path):
     """The CLI chunk callback must trim tail pad rows and honor
     --checkpoint-every buffering (pending chunks merge into one segment)."""
     from ergo_uvo_tpu import cli
-    from ergo_uvo_tpu.pipeline.mono import MonoFrameOutput, mono_vo_init
+    from ergo_uvo_tpu.pipeline.mono import MonoFrameOutput, mono_vo_init_from
     from ergo_uvo_tpu.utils.checkpoint import load_stream_run
 
     cfg = MonoVOConfig(max_keypoints=64)
-    state = mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim)
+    state = mono_vo_init_from(cfg)
     ckpt = str(tmp_path / "cb.npz")
     # n_real=10 streamed from start=0 in chunks of 4 -> 12 padded rows.
     cb = cli._make_stream_ckpt_cb(ckpt, every=2, n_real=10, chunk_size=4,
@@ -289,3 +290,45 @@ def test_cli_ckpt_cb_trims_pads_and_buffers(tmp_path):
     assert fd == 10 and meta["n_segments"] == 2
     assert outs.velocity.shape == (10,)
     np.testing.assert_array_equal(outs.velocity[8:], 3.0)
+
+
+@pytest.mark.fast
+def test_resume_refuses_sequence_digest_mismatch(tmp_path):
+    """Resume must refuse a checkpoint recorded for a different frame
+    sequence (digest mismatch) unless --force-resume is given (ADVICE r4)."""
+    import argparse
+
+    from ergo_uvo_tpu import cli
+    from ergo_uvo_tpu.pipeline.mono import MonoFrameOutput, mono_vo_init_from
+    from ergo_uvo_tpu.utils.checkpoint import save_stream_head
+
+    cfg = MonoVOConfig(max_keypoints=64)
+    state = mono_vo_init_from(cfg)
+    ckpt = str(tmp_path / "run.npz")
+    old_digest = cli._seq_digest(["a.jpg", "b.jpg"])
+    save_stream_head(ckpt, 0, jax.tree.map(np.asarray, state),
+                     np.zeros(2, np.uint32), 0, n_real=2, chunk_size=2,
+                     seq_digest=old_digest)
+
+    new_digest = cli._seq_digest(["a.jpg", "c.jpg"])
+    assert new_digest != old_digest
+    assert cli._seq_digest(["a.jpg", "b.jpg"]) == old_digest  # deterministic
+
+    args = argparse.Namespace(
+        resume=True, checkpoint=ckpt, checkpoint_every=1, chunk_size=2,
+        seed=0, force_resume=False,
+    )
+    with pytest.raises(SystemExit, match="force-resume"):
+        cli._run_streamed(args, 2, np.zeros(2, np.float32), state,
+                          MonoFrameOutput, None, seq_digest=new_digest)
+    # --force-resume (or a matching digest) proceeds: resumed at frame 0 with
+    # no segments, launch runs — pass one that returns empty outs.
+    outs_tmpl = MonoFrameOutput(
+        *([np.zeros((2,), np.float32)] * len(MonoFrameOutput._fields))
+    )
+    launch = lambda *a: (None, outs_tmpl)  # noqa: E731
+    args.force_resume = True
+    outs, _ = cli._run_streamed(args, 2, np.zeros(2, np.float32), state,
+                                MonoFrameOutput, launch,
+                                seq_digest=new_digest)
+    assert outs.velocity.shape == (2,)

@@ -161,7 +161,7 @@ def cmd_scan(args):
 
     from ergo_uvo_tpu.config import MonoVOConfig, SurfConfig
     from ergo_uvo_tpu.io import make_mono_sequence
-    from ergo_uvo_tpu.pipeline.mono import mono_vo_init, mono_vo_step
+    from ergo_uvo_tpu.pipeline.mono import mono_vo_init_from, mono_vo_step
 
     cfg = MonoVOConfig(surf=SurfConfig(min_hessian=60.0), max_keypoints=512,
                        num_hypotheses=512)
@@ -175,7 +175,7 @@ def cmd_scan(args):
     @jax.jit
     def run(key):
         keys = jax.random.split(key, imgs.shape[0])
-        state = mono_vo_init(cfg.max_keypoints, cfg.descriptor_dim)
+        state = mono_vo_init_from(cfg)
 
         def step(c, inp):
             im, ts, rg, k = inp
