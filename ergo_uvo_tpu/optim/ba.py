@@ -91,32 +91,39 @@ def _normal_equations(J_pose, J_lm, r):
     return H_pp, H_ll, H_pl, b_p, b_l
 
 
-def _schur_solve(H_pp, H_ll, H_pl, b_p, b_l, lm_lambda, num_fixed, psum=None):
-    """Schur-complement solve for (dpose (P,6), dlm (L,3)).
+def _schur_corrections(H_ll, H_pl, b_l, lm_lambda):
+    """Landmark-local half of the Schur reduction.
 
-    `psum`: optional collective (λx: psum over the landmark shard axis) —
-    the distributed path supplies it; single-device passes None.
-    The landmark-indexed partial sums (H_pp has none; S and rhs corrections
-    do) are reduced with it.
+    Returns (Hll_inv (L,3,3), S_corr (P,P,6,6), rhs_corr (P,6)) — the
+    partial sums over this shard's landmarks.  The distributed path reduces
+    S_corr/rhs_corr across shards (packed with H_pp/b_p into ONE collective,
+    dist/sharded_ba.py) before :func:`_schur_reduce_solve`.
     """
-    P = H_pp.shape[0]
-    L = H_ll.shape[0]
-    eyep = jnp.eye(6, dtype=H_pp.dtype)
-    eyel = jnp.eye(3, dtype=H_pp.dtype)
-    H_pp_d = H_pp + lm_lambda * eyep[None]
+    eyel = jnp.eye(3, dtype=H_ll.dtype)
     H_ll_d = H_ll + lm_lambda * eyel[None]
-
     # Closed-form 3x3 inverses of the landmark blocks.
     Hll_inv = jax.vmap(lambda A: _solve33_mat(A))(H_ll_d)  # (L, 3, 3)
-
     # S = H_pp_diag - sum_l H_pl Hll^-1 H_pl^T  (off-diagonal pose coupling
     # comes only through landmarks).
     W = jnp.einsum("plij,ljk->plik", H_pl, Hll_inv)  # (P, L, 6, 3)
     S_corr = jnp.einsum("plik,qlmk->pqim", W, H_pl)  # (P, P, 6, 6)
     rhs_corr = jnp.einsum("plik,lk->pi", W, b_l)  # (P, 6)
-    if psum is not None:
-        S_corr = psum(S_corr)
-        rhs_corr = psum(rhs_corr)
+    return Hll_inv, S_corr, rhs_corr
+
+
+def _schur_reduce_solve(
+    H_pp, b_p, Hll_inv, S_corr, rhs_corr, H_pl, b_l, lm_lambda, num_fixed
+):
+    """Reduced-system solve for (dpose (P,6), dlm (L,3)).
+
+    Expects H_pp/b_p/S_corr/rhs_corr already summed over ALL landmarks
+    (globally reduced in the distributed path); H_pl, b_l, Hll_inv stay
+    shard-local — the landmark back-substitution needs only this shard's
+    rows (dp is replicated after the reduced solve).
+    """
+    P = H_pp.shape[0]
+    eyep = jnp.eye(6, dtype=H_pp.dtype)
+    H_pp_d = H_pp + lm_lambda * eyep[None]
     S = -S_corr
     S = S.at[jnp.arange(P), jnp.arange(P)].add(H_pp_d)
     rhs = -(b_p - rhs_corr)
@@ -135,12 +142,27 @@ def _schur_solve(H_pp, H_ll, H_pl, b_p, b_l, lm_lambda, num_fixed, psum=None):
 
     # Back-substitute landmarks: dl = Hll^-1 (-b_l - H_pl^T dp).
     t1 = jnp.einsum("plij,pi->lj", H_pl, dp)
-    if psum is not None:
-        # H_pl^T dp is landmark-local (each l on its shard) — no psum needed;
-        # dp is replicated after the reduced solve.
-        pass
     dl = jnp.einsum("lij,lj->li", Hll_inv, -b_l - t1)
     return dp, dl
+
+
+def _schur_solve(H_pp, H_ll, H_pl, b_p, b_l, lm_lambda, num_fixed, psum=None):
+    """Schur-complement solve for (dpose (P,6), dlm (L,3)).
+
+    `psum`: optional collective (λx: psum over the landmark shard axis) —
+    kept for API compatibility; the distributed step now packs the
+    correction reduction with the pose-block reduction itself
+    (dist/sharded_ba.py) and calls the split functions directly.
+    """
+    Hll_inv, S_corr, rhs_corr = _schur_corrections(H_ll, H_pl, b_l, lm_lambda)
+    if psum is not None:
+        packed = psum(jnp.concatenate([S_corr.reshape(-1),
+                                       rhs_corr.reshape(-1)]))
+        S_corr = packed[:S_corr.size].reshape(S_corr.shape)
+        rhs_corr = packed[S_corr.size:].reshape(rhs_corr.shape)
+    return _schur_reduce_solve(
+        H_pp, b_p, Hll_inv, S_corr, rhs_corr, H_pl, b_l, lm_lambda, num_fixed
+    )
 
 
 def _solve33_mat(A: jax.Array) -> jax.Array:

@@ -117,3 +117,54 @@ def test_stereo_velocity_beats_reference():
     # Both must actually track; then the engine must be at least as good.
     assert np.isfinite(rmse_e)
     assert rmse_e <= 1.05 * max(rmse_o, 1e-6), (rmse_e, rmse_o)
+
+
+@requires_cv2
+def test_stereo_ate_beats_reference():
+    """Stereo ATE parity (VERDICT r4 missing #4): integrate both the oracle's
+    and the engine's per-frame t_prevCam_currCam outputs
+    (visual_odometry.h:148-159 — same prev-cam-frame displacement convention
+    as mono, so the shared integrator applies) and require
+    ATE(engine) <= 1.05 * ATE(reference re-execution), mean over seeds."""
+    from ergo_uvo_tpu.eval.reference_oracle import run_stereo_oracle
+
+    cfg = StereoVOConfig(
+        feature_detector="SIFT", max_keypoints=512, num_hypotheses=256
+    )
+    R_right, t_right = np.eye(3), np.array([-0.33, 0.0, 0.0])
+    ates_oracle, ates_engine = [], []
+    for seed in (0, 1):
+        seq = make_stereo_sequence(n_frames=16, height=240, width=320,
+                                   dt=0.25, seed=seed)
+        gt = seq.positions - seq.positions[0]
+
+        oracle = run_stereo_oracle(
+            seq.imgs_left, seq.imgs_right, seq.timestamps, seq.K, seq.K,
+            R_right, t_right, cfg,
+        )
+        pos_o = _positions(oracle.velocity, oracle.R, seq.timestamps,
+                           oracle.published, oracle.validity)
+        ates_oracle.append(ate_rmse(pos_o, gt))
+
+        rig = StereoRig(
+            K_left=jnp.asarray(seq.K), K_right=jnp.asarray(seq.K),
+            R_right=jnp.asarray(R_right, jnp.float32),
+            t_right=jnp.asarray(t_right, jnp.float32),
+        )
+        _, outs = run_stereo_vo(
+            jnp.asarray(seq.imgs_left), jnp.asarray(seq.imgs_right),
+            jnp.asarray(seq.timestamps), rig, cfg, jax.random.PRNGKey(seed),
+        )
+        outs = jax.tree.map(np.asarray, outs)
+        pos_e = _positions(outs.velocity, outs.R, seq.timestamps,
+                           outs.published, outs.validity)
+        ates_engine.append(ate_rmse(pos_e, gt))
+
+    # Both must actually track (not an empty/held trajectory) ...
+    assert np.isfinite(ates_engine).all() and np.mean(ates_engine) < 1.0, (
+        ates_engine
+    )
+    # ... and the engine must be at least as accurate as the reference.
+    assert np.mean(ates_engine) <= 1.05 * np.mean(ates_oracle) + 1e-3, (
+        f"engine ATE {ates_engine} vs reference {ates_oracle}"
+    )

@@ -112,3 +112,32 @@ class TestNanGuard:
             jax.random.PRNGKey(0),
         )
         assert_finite(outs._asdict(), "mono outputs")
+
+
+@pytest.mark.fast
+def test_bench_emit_skips_nonfinite_and_orders_headline_last(capsys):
+    """bench.py plumbing (ADVICE r4): NaN measurements are skipped with a
+    note instead of emitted as garbage, slope inversions return NaN, and the
+    headline metric prints LAST regardless of emission order."""
+    import importlib
+    import json
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    bench = importlib.import_module("bench")
+    bench._LINES.clear()
+
+    bench.emit("mono_uvo_frames_per_second_per_chip", 77.0, "frames/s", 3.85)
+    bench.emit("ba_iters_per_second_8x512", float("nan"), "iters/s", 1.0)
+    bench.emit("mono_ate_m_sift", 0.02, "m", 1.1)
+    bench.flush_lines()
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    metrics = [d["metric"] for d in out]
+    assert "ba_iters_per_second_8x512" not in metrics  # NaN skipped
+    assert metrics[-1] == "mono_uvo_frames_per_second_per_chip"  # headline
+
+    # Slope guard: jitter >= signal -> NaN, not a 1e10 throughput.
+    times = {10: 2.0, 100: 1.9}  # t_hi <= t_lo
+    rate = bench.size_slope_rate(lambda n: times[n], 10, 100, reps=1)
+    assert rate != rate  # NaN
+    bench._LINES.clear()

@@ -40,7 +40,7 @@ import jax.numpy as jnp  # noqa: E402
 
 from jax.sharding import Mesh  # noqa: E402
 
-from ergo_uvo_tpu.dist.sharded_ba import make_sharded_ba_step  # noqa: E402
+from ergo_uvo_tpu.dist.sharded_ba import make_sharded_ba_run  # noqa: E402
 from ergo_uvo_tpu.dist.mesh import landmark_sharding, replicated  # noqa: E402
 
 
@@ -72,7 +72,10 @@ def time_iters(mesh, P, L, iters=30, reps=3):
     visible instead of masquerading as a trend.
     """
     K, obs, mask, Rs, ts, X0 = make_problem(P, L)
-    step = make_sharded_ba_step(mesh, num_fixed=2)
+    # One dispatch per solve (make_sharded_ba_run): iterations scanned inside
+    # the program, so the measurement is the solver + collectives, not the
+    # host dispatch path.
+    run = make_sharded_ba_run(mesh, iters, num_fixed=2)
     rep = replicated(mesh)
     obs = jax.device_put(jnp.asarray(obs), landmark_sharding(mesh, 3, 1))
     maskd = jax.device_put(jnp.asarray(mask), landmark_sharding(mesh, 2, 1))
@@ -82,15 +85,13 @@ def time_iters(mesh, P, L, iters=30, reps=3):
     lam0 = jax.device_put(jnp.asarray(1e-3, jnp.float32), rep)
     Kd = jax.device_put(jnp.asarray(K), rep)
     # warmup/compile
-    out = step(Kd, obs, maskd, R0, t0_, X0d, lam0)
+    out = run(Kd, obs, maskd, R0, t0_, X0d, lam0)
     jax.block_until_ready(out[-1])
     samples = []
     for _ in range(reps):
-        R, t, X, lam = R0, t0_, X0d, lam0
         t0 = time.perf_counter()
-        for _ in range(iters):
-            R, t, X, lam, cost = step(Kd, obs, maskd, R, t, X, lam)
-        jax.block_until_ready(cost)
+        out = run(Kd, obs, maskd, R0, t0_, X0d, lam0)
+        jax.block_until_ready(out[-1])
         samples.append(iters / (time.perf_counter() - t0))
     return samples
 
