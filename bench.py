@@ -570,19 +570,23 @@ def section_ba():
 
 # name -> (callable, runs_on_cpu, timeout_s).  Execution order = dict order:
 # CPU sections first (immune to TPU faults), then device sections with the
-# never-yet-recorded metrics early and the historical worker-killers last.
+# never-yet-recorded metrics early and the known worker-killer LAST: the ORB
+# program's first dispatch reproducibly faults the axon worker (r4 + r5 —
+# the r4 "dies after sustained dispatch" theory was wrong; it was always the
+# ORB executable), and recovery takes ~40-90 min, so everything after it in
+# the same bench run would be lost.
 _SECTIONS = {
     "parity": (section_parity, True, 2400),
     "scaling": (section_scaling, True, 1200),
     "scaling_2proc": (section_scaling_2proc, True, 1200),
     "mono": (section_mono, False, 1800),
     "det_sift": (section_det_sift, False, 1500),
-    "det_orb": (section_det_orb, False, 1500),
-    "det_akaze": (section_det_akaze, False, 1800),
     "ba": (section_ba, False, 1200),
+    "det_akaze": (section_det_akaze, False, 1800),
     "stereo": (section_stereo, False, 1800),
     "refcfg": (section_mono_refcfg, False, 1800),
     "stages": (section_stages, False, 1800),
+    "det_orb": (section_det_orb, False, 1500),
 }
 
 
