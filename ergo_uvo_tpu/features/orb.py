@@ -123,7 +123,11 @@ def detect_orb(
     level_img = img
     for lvl, (lh, lw) in enumerate(shapes):
         if (lh, lw) != level_img.shape:
-            level_img = jax.image.resize(img, (lh, lw), method="linear")
+            # Matmul-based resize (features/sampling.resize_bilinear): MXU
+            # path + axon-TPU scan-fault workaround (see its docstring).
+            from ergo_uvo_tpu.features.sampling import resize_bilinear
+
+            level_img = resize_bilinear(img, lh, lw)
         score = fast_score(level_img, threshold, margin=_BRIEF_MARGIN)
         # 3x3 NMS.
         nmax = jax.lax.reduce_window(

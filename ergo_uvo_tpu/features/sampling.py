@@ -80,6 +80,43 @@ def sample_patch(patches: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
     return jnp.einsum("ksa,kab,ksb->ks", RU, patches, CV)
 
 
+def _resize_weights(out_n: int, n: int, antialias: bool, dtype) -> jax.Array:
+    """(out_n, n) row-normalized triangle weights at half-pixel centers."""
+    pos = jnp.clip(
+        (jnp.arange(out_n, dtype=dtype) + 0.5) * (n / out_n) - 0.5,
+        0.0, n - 1.0,
+    )
+    s = max(n / out_n, 1.0) if antialias else 1.0
+    grid = jnp.arange(n, dtype=dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(pos[:, None] - grid[None]) / s)
+    return w / jnp.sum(w, axis=1, keepdims=True)
+
+
+def resize_bilinear(
+    img: jax.Array, out_h: int, out_w: int, antialias: bool = False
+) -> jax.Array:
+    """Gather-free linear resize: two triangle-weight matmuls.
+
+    ``antialias=False`` is plain 2-tap bilinear at half-pixel source centers
+    — OpenCV ``INTER_LINEAR`` semantics (what the reference's ORB pyramid
+    uses; cv::resize does not antialias), equal to
+    ``jax.image.resize(..., "linear", antialias=False)``.  ``antialias=True``
+    widens the triangle by the downscale ratio — equal to jax's antialiased
+    linear, a close stand-in for INTER_AREA at non-integer ratios.
+
+    Lowers to `R @ img @ C^T` on the MXU instead of the gather program XLA
+    emits for the generic resize.  Beyond throughput this is a WORKAROUND
+    for an axon-TPU runtime fault (r5): the gather-based resize executable
+    reproducibly crashed the worker when traced inside a ``lax.scan`` body
+    (the ORB pyramid was the only in-scan user — SURF/SIFT/AKAZE downsample
+    by strided slicing).
+    """
+    h, w = img.shape
+    R = _resize_weights(out_h, h, antialias, img.dtype)  # (out_h, h)
+    C = _resize_weights(out_w, w, antialias, img.dtype)  # (out_w, w)
+    return R @ img @ C.T
+
+
 def conv2d_same(img: jax.Array, kernel: jax.Array) -> jax.Array:
     """Dense 2-D 'SAME' correlation of one image with one static kernel.
 

@@ -31,16 +31,28 @@ def resize_area(img: jax.Array, new_h: int, new_w: int) -> jax.Array:
 
     For integer downscale factors this is exact OpenCV INTER_AREA — plain
     box-average pooling, implemented as two reshape-mean contractions (VPU
-    friendly, no gathers).  Non-integer ratios fall back to XLA's
-    `jax.image.resize` linear path (antialiased area behavior differs at the
-    margins; the pipeline's standard 2x/4x downscales take the exact path).
+    friendly, no gathers).  Non-integer ratios use the antialiased
+    triangle-weight matmul resize (features/sampling.resize_bilinear, equal
+    to jax.image.resize's antialiased linear — area behavior differs only at
+    the margins; the standard 2x/4x downscales take the exact path).
     """
     *batch, h, w = img.shape
     if h % new_h == 0 and w % new_w == 0:
         fh, fw = h // new_h, w // new_w
         x = img.reshape(*batch, new_h, fh, new_w, fw)
         return x.mean(axis=(-3, -1))
-    return jax.image.resize(img, (*batch, new_h, new_w), method="linear")
+    # Non-integer ratio: gather-free bilinear via hat-weight matmuls (same
+    # semantics as jax.image.resize linear; see features/sampling.py for the
+    # MXU rationale + the axon scan-fault workaround it doubles as).
+    from ergo_uvo_tpu.features.sampling import resize_bilinear
+
+    if not batch:
+        return resize_bilinear(img, new_h, new_w, antialias=True)
+    flat = img.reshape(-1, h, w)
+    out = jax.vmap(
+        lambda im: resize_bilinear(im, new_h, new_w, antialias=True)
+    )(flat)
+    return out.reshape(*batch, new_h, new_w)
 
 
 def remap_bilinear_shifts(img: jax.Array, disp: jax.Array, max_shift: int) -> jax.Array:

@@ -78,3 +78,21 @@ def test_conv2d_same_matches_scipy():
     got = np.asarray(conv2d_same(jnp.asarray(img), jnp.asarray(ker)))
     ref = correlate2d(img, ker, mode="same")
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.fast
+def test_resize_bilinear_matches_jax_image_resize():
+    """Matmul resize == jax.image.resize linear in both antialias modes
+    (the ORB pyramid + preprocess fallback rely on this equivalence; it is
+    also the axon scan-fault workaround, features/sampling.py)."""
+    from ergo_uvo_tpu.features.sampling import resize_bilinear
+
+    rng = np.random.default_rng(0)
+    for (h, w, oh, ow) in [(100, 80, 83, 67), (64, 64, 128, 128),
+                           (48, 48, 40, 40)]:
+        img = jnp.asarray(rng.random((h, w)).astype(np.float32))
+        for aa in (False, True):
+            a = resize_bilinear(img, oh, ow, antialias=aa)
+            b = jax.image.resize(img, (oh, ow), method="linear", antialias=aa)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=0)
