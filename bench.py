@@ -112,10 +112,13 @@ def emit(metric, value, unit, vs_baseline):
         print(f"# {metric} skipped: non-finite measurement "
               f"({value}, {vs_baseline})", file=sys.stderr)
         return
+    v = float(value)
     line = json.dumps(
         {
             "metric": metric,
-            "value": round(float(value), 2),
+            # sub-0.1 values (e.g. the matcher's ms/frame) keep enough
+            # digits to stay nonzero in the record
+            "value": round(v, 2) if abs(v) >= 0.1 else round(v, 5),
             "unit": unit,
             "vs_baseline": round(float(vs_baseline), 2),
         }
@@ -420,18 +423,28 @@ def section_stereo():
     emit("stereo_uvo_frames_per_second_per_chip", fps, "frames/s", fps / 20.0)
 
 
-def _section_detector(det):
+def _section_detector(det, stepwise=False):
     """Per-detector throughput: one short scan per non-default detector
     branch at the working resolution, so 'exists but is 5 fps' is visible in
-    the bench record.  The SURF default remains the headline (section_mono)."""
+    the bench record.  The SURF default remains the headline (section_mono).
+
+    `stepwise=True` threads the jitted per-frame step through chained
+    dispatches instead of one `lax.scan` program — the ORB path ONLY: its
+    scanned executable reproducibly faults the axon worker (r5 bisect:
+    single-step and every sub-stage pass, the scan-of-step program crashes;
+    still crashes with the gather-free pyramid resize).  The chain stays
+    below the tunnel's ~16-pending-dispatch crash threshold, and the slope
+    then includes per-dispatch tunnel overhead — the recorded fps is a
+    LOWER bound on chip throughput, honestly so."""
     import jax
     import jax.numpy as jnp
 
     from ergo_uvo_tpu.config import MonoVOConfig
     from ergo_uvo_tpu.io import make_mono_sequence
     from ergo_uvo_tpu.pipeline import run_mono_vo
+    from ergo_uvo_tpu.pipeline.mono import mono_vo_init_from, mono_vo_step
 
-    n_lo, n_hi = 6, 30
+    n_lo, n_hi = (4, 14) if stepwise else (6, 30)
     seq = make_mono_sequence(n_frames=n_hi, height=480, width=640, dt=0.05,
                              seed=1)
     imgs = jnp.asarray(seq.imgs_left)
@@ -442,25 +455,47 @@ def _section_detector(det):
     cfg = MonoVOConfig(
         feature_detector=det, max_keypoints=512, num_hypotheses=512
     )
-    runs = {}
-    for n in (n_lo, n_hi):
-        runs[n] = jax.jit(
-            lambda im, t, r, key, n=n, cfg=cfg: run_mono_vo(
-                im[:n], t[:n], r[:n], K, cfg, key
-            )
+    if stepwise:
+        step = jax.jit(
+            lambda s, im, t, r, key: mono_vo_step(s, im, t, r, K, key, cfg)
         )
-        np.asarray(runs[n](imgs, tss, rgs, key0)[1].scale_factor[-1])
+        keys = jax.random.split(key0, n_hi)
+        state0 = mono_vo_init_from(cfg)
+        out = step(state0, imgs[0], tss[0], rgs[0], keys[0])  # compile
+        np.asarray(out[1].scale_factor)
 
-    def time_n(n):
-        t0 = time.perf_counter()
-        np.asarray(runs[n](imgs, tss, rgs, key0)[1].scale_factor[-1])
-        return time.perf_counter() - t0
+        def time_n(n):
+            state = state0
+            t0 = time.perf_counter()
+            for i in range(n):
+                state, o = step(state, imgs[i], tss[i], rgs[i], keys[i])
+            np.asarray(o.scale_factor)
+            return time.perf_counter() - t0
+    else:
+        runs = {}
+        for n in (n_lo, n_hi):
+            runs[n] = jax.jit(
+                lambda im, t, r, key, n=n, cfg=cfg: run_mono_vo(
+                    im[:n], t[:n], r[:n], K, cfg, key
+                )
+            )
+            np.asarray(runs[n](imgs, tss, rgs, key0)[1].scale_factor[-1])
+
+        def time_n(n):
+            t0 = time.perf_counter()
+            np.asarray(runs[n](imgs, tss, rgs, key0)[1].scale_factor[-1])
+            return time.perf_counter() - t0
 
     fps = size_slope_rate(time_n, n_lo, n_hi)
     emit(f"mono_uvo_fps_{det.lower()}", fps, "frames/s", fps / 20.0)
 
 
 def section_det_orb():
+    # Scanned like the others.  The r5 stepwise experiment (git history)
+    # recorded 0.09 "fps" — per-dispatch tunnel latency (~10 s) swamped the
+    # device time entirely, so a chained-dispatch fallback cannot produce an
+    # honest number on this tunnel; if the scan faults the worker, losing
+    # this one metric (the section runs LAST) beats recording garbage.
     _section_detector("ORB")
 
 
@@ -647,7 +682,18 @@ def main():
         if name not in wanted:
             continue
         t0 = time.perf_counter()
-        for d in _run_section_subprocess(name, cpu, timeout):
+        rows = _run_section_subprocess(name, cpu, timeout)
+        if not rows and not cpu:
+            # One retry: the tunnel's remote-compile endpoint drops
+            # connections transiently (r5: "response body closed before all
+            # bytes were read"), which is distinct from a worker crash — a
+            # retry 30 s later usually lands.  A genuinely dead worker fails
+            # fast the second time, costing ~30 s.
+            print(f"# section {name}: no metrics, retrying once",
+                  file=sys.stderr, flush=True)
+            time.sleep(30)
+            rows = _run_section_subprocess(name, cpu, timeout)
+        for d in rows:
             collected[d["metric"]] = d
             _LINES.append((d["metric"], json.dumps(d)))
         print(f"# section {name}: {time.perf_counter() - t0:.0f}s",
