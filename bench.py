@@ -423,28 +423,28 @@ def section_stereo():
     emit("stereo_uvo_frames_per_second_per_chip", fps, "frames/s", fps / 20.0)
 
 
-def _section_detector(det, stepwise=False):
+def _section_detector(det, batched_features=False):
     """Per-detector throughput: one short scan per non-default detector
     branch at the working resolution, so 'exists but is 5 fps' is visible in
     the bench record.  The SURF default remains the headline (section_mono).
 
-    `stepwise=True` threads the jitted per-frame step through chained
-    dispatches instead of one `lax.scan` program — the ORB path ONLY: its
-    scanned executable reproducibly faults the axon worker (r5 bisect:
-    single-step and every sub-stage pass, the scan-of-step program crashes;
-    still crashes with the gather-free pyramid resize).  The chain stays
-    below the tunnel's ~16-pending-dispatch crash threshold, and the slope
-    then includes per-dispatch tunnel overhead — the recorded fps is a
-    LOWER bound on chip throughput, honestly so."""
+    `batched_features=True` uses run_mono_vo_batched_features — detection
+    vmapped over all frames, only match->pose->scale scanned.  The ORB path
+    REQUIRES it on the axon TPU: its image-stage executable inside an
+    xs-scan reproducibly faults the worker (r5 bisect: per-step, carried-
+    image scan, and every sub-stage pass; the scan-over-stacked-frames
+    program crashes), while the vmapped schedule avoids the faulting codegen
+    pattern.  The measured unit is the same per-frame work either way."""
     import jax
     import jax.numpy as jnp
 
     from ergo_uvo_tpu.config import MonoVOConfig
-    from ergo_uvo_tpu.io import make_mono_sequence
     from ergo_uvo_tpu.pipeline import run_mono_vo
-    from ergo_uvo_tpu.pipeline.mono import mono_vo_init_from, mono_vo_step
+    from ergo_uvo_tpu.pipeline.mono import run_mono_vo_batched_features
+    from ergo_uvo_tpu.io import make_mono_sequence
 
-    n_lo, n_hi = (4, 14) if stepwise else (6, 30)
+    runner = run_mono_vo_batched_features if batched_features else run_mono_vo
+    n_lo, n_hi = 6, 30
     seq = make_mono_sequence(n_frames=n_hi, height=480, width=640, dt=0.05,
                              seed=1)
     imgs = jnp.asarray(seq.imgs_left)
@@ -455,48 +455,29 @@ def _section_detector(det, stepwise=False):
     cfg = MonoVOConfig(
         feature_detector=det, max_keypoints=512, num_hypotheses=512
     )
-    if stepwise:
-        step = jax.jit(
-            lambda s, im, t, r, key: mono_vo_step(s, im, t, r, K, key, cfg)
-        )
-        keys = jax.random.split(key0, n_hi)
-        state0 = mono_vo_init_from(cfg)
-        out = step(state0, imgs[0], tss[0], rgs[0], keys[0])  # compile
-        np.asarray(out[1].scale_factor)
-
-        def time_n(n):
-            state = state0
-            t0 = time.perf_counter()
-            for i in range(n):
-                state, o = step(state, imgs[i], tss[i], rgs[i], keys[i])
-            np.asarray(o.scale_factor)
-            return time.perf_counter() - t0
-    else:
-        runs = {}
-        for n in (n_lo, n_hi):
-            runs[n] = jax.jit(
-                lambda im, t, r, key, n=n, cfg=cfg: run_mono_vo(
-                    im[:n], t[:n], r[:n], K, cfg, key
-                )
+    runs = {}
+    for n in (n_lo, n_hi):
+        runs[n] = jax.jit(
+            lambda im, t, r, key, n=n, cfg=cfg: runner(
+                im[:n], t[:n], r[:n], K, cfg, key
             )
-            np.asarray(runs[n](imgs, tss, rgs, key0)[1].scale_factor[-1])
+        )
+        np.asarray(runs[n](imgs, tss, rgs, key0)[1].scale_factor[-1])
 
-        def time_n(n):
-            t0 = time.perf_counter()
-            np.asarray(runs[n](imgs, tss, rgs, key0)[1].scale_factor[-1])
-            return time.perf_counter() - t0
+    def time_n(n):
+        t0 = time.perf_counter()
+        np.asarray(runs[n](imgs, tss, rgs, key0)[1].scale_factor[-1])
+        return time.perf_counter() - t0
 
     fps = size_slope_rate(time_n, n_lo, n_hi)
     emit(f"mono_uvo_fps_{det.lower()}", fps, "frames/s", fps / 20.0)
 
 
 def section_det_orb():
-    # Scanned like the others.  The r5 stepwise experiment (git history)
-    # recorded 0.09 "fps" — per-dispatch tunnel latency (~10 s) swamped the
-    # device time entirely, so a chained-dispatch fallback cannot produce an
-    # honest number on this tunnel; if the scan faults the worker, losing
-    # this one metric (the section runs LAST) beats recording garbage.
-    _section_detector("ORB")
+    # vmapped-detection schedule: the plain xs-scan ORB executable faults
+    # the axon worker (see _section_detector docstring).  Still runs LAST
+    # among device sections as defense in depth.
+    _section_detector("ORB", batched_features=True)
 
 
 def section_det_sift():

@@ -12,6 +12,8 @@ from ergo_uvo_tpu.pipeline.mono import (  # noqa: F401
     mono_vo_init_from,
     mono_vo_step,
     run_mono_vo,
+    run_mono_vo_batched_features,
+    mono_vo_step_with_features,
 )
 from ergo_uvo_tpu.pipeline.stereo import (  # noqa: F401
     StereoFrameOutput,

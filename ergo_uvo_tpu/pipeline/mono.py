@@ -113,6 +113,33 @@ def mono_vo_step(
         cfg.orb_threshold, cfg.sift_contrast_threshold, cfg.sift_edge_threshold,
         akaze=cfg.akaze,
     )
+    return mono_vo_step_with_features(
+        state, kpts, desc, timestamp, range_measure, K, key, cfg
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def mono_vo_step_with_features(
+    state: MonoVOState,
+    kpts,  # features.detector.Keypoints for the current frame
+    desc: jax.Array,  # (K, D) descriptors aligned with `kpts`
+    timestamp: jax.Array,
+    range_measure: jax.Array,
+    K: jax.Array,
+    key: jax.Array,
+    cfg: MonoVOConfig,
+):
+    """The mono step AFTER detection: match -> pose -> triangulate -> scale.
+
+    Detection is state-independent, so callers may compute features for many
+    frames in one batched `vmap` and scan only this function over the
+    sequence (run_mono_vo_batched_features) — better compiler parallelism
+    than re-deriving features inside every scan iteration, an external
+    feature source's entry point, and the deployment shape the ORB branch
+    REQUIRES on the axon TPU (r5: any ORB image-stage executable scanned
+    over stacked frame inputs faults the worker; detection vmapped outside
+    the scan sidesteps the faulting codegen pattern entirely).
+    """
     n_features = kpts.count
     enough_features = n_features >= cfg.min_num_features
 
@@ -315,3 +342,44 @@ def run_mono_vo(
         return mono_vo_step(carry, img, ts, rng_m, K, k, cfg)
 
     return jax.lax.scan(step, state, (imgs, timestamps, ranges, keys))
+
+
+def run_mono_vo_batched_features(
+    imgs: jax.Array,
+    timestamps: jax.Array,
+    ranges: jax.Array,
+    K: jax.Array,
+    cfg: MonoVOConfig,
+    key: jax.Array,
+    state: MonoVOState | None = None,
+):
+    """run_mono_vo with detection hoisted OUT of the scan.
+
+    Features are state-independent, so one batched ``vmap`` computes them
+    for every frame up front and the scan carries only match -> pose ->
+    triangulate -> scale (mono_vo_step_with_features).  Bit-identical
+    outputs to :func:`run_mono_vo` (tests/test_pipeline.py), with two wins:
+    the detector runs as one frame-parallel program instead of T sequential
+    scan iterations, and the ORB branch becomes runnable on the axon TPU
+    (whose runtime faults on ORB image-stage executables inside an xs-scan —
+    r5 bisect; see mono_vo_step_with_features).
+    """
+    if state is None:
+        state = mono_vo_init_from(cfg, imgs.dtype)
+    keys = jax.random.split(key, imgs.shape[0])
+
+    kpts, descs = jax.vmap(
+        lambda im: detect_and_describe(
+            im, cfg.surf, cfg.max_keypoints, cfg.feature_detector,
+            cfg.orb_threshold, cfg.sift_contrast_threshold,
+            cfg.sift_edge_threshold, akaze=cfg.akaze,
+        )
+    )(imgs)
+
+    def step(carry, inp):
+        kp, ds, ts, rng_m, k = inp
+        return mono_vo_step_with_features(carry, kp, ds, ts, rng_m, K, k, cfg)
+
+    return jax.lax.scan(
+        step, state, (kpts, descs, timestamps, ranges, keys)
+    )

@@ -204,3 +204,38 @@ class TestStereoPipeline:
         # constant-motion hold: same t as previous frame
         np.testing.assert_allclose(outs.t[3], outs.t[2])
         assert np.isfinite(outs.velocity).all()
+
+
+@pytest.mark.fast
+def test_batched_features_runner_matches_scan():
+    """run_mono_vo_batched_features (detection vmapped outside the scan)
+    must agree with run_mono_vo — same algorithm re-scheduled (the axon ORB
+    workaround + external-feature entry, pipeline/mono.py).  Batched-vs-
+    scanned XLA compilations reassociate float reductions, so agreement is
+    to ~1e-3, with the discrete decisions (published/validity/method)
+    required IDENTICAL."""
+    from ergo_uvo_tpu.pipeline.mono import run_mono_vo_batched_features
+
+    cfg = MonoVOConfig(
+        surf=SurfConfig(min_hessian=60.0), max_keypoints=128,
+        num_hypotheses=64,
+    )
+    seq = make_mono_sequence(n_frames=8, height=120, width=160, dt=0.25,
+                             seed=3)
+    args = (jnp.asarray(seq.imgs_left), jnp.asarray(seq.timestamps),
+            jnp.asarray(seq.ranges), jnp.asarray(seq.K), cfg,
+            jax.random.PRNGKey(0))
+    _, a = run_mono_vo(*args)
+    _, b = run_mono_vo_batched_features(*args)
+    np.testing.assert_array_equal(np.asarray(a.published),
+                                  np.asarray(b.published))
+    np.testing.assert_array_equal(np.asarray(a.validity),
+                                  np.asarray(b.validity))
+    np.testing.assert_array_equal(np.asarray(a.used_essential),
+                                  np.asarray(b.used_essential))
+    np.testing.assert_array_equal(np.asarray(a.num_features),
+                                  np.asarray(b.num_features))
+    np.testing.assert_allclose(np.asarray(a.velocity),
+                               np.asarray(b.velocity), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(a.scale_factor),
+                               np.asarray(b.scale_factor), rtol=1e-2)
